@@ -1,0 +1,99 @@
+"""Geometry utilities: triangulation, ICP pose-from-correspondences.
+
+Capability parity with the reference's MapMaker::Triangulate /
+TriangulateNew (ref: src/MapMaker.cc:171-258) and cg::Tools ICP solvers
+(ref: src/Tools.cc:307-431), vectorized over batches of correspondences.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ptam_cg_tpu.utils import se3 as se3lib
+from ptam_cg_tpu.utils.se3 import SE3
+
+Array = jax.Array
+
+
+def _smallest_right_singular(A: Array) -> Array:
+    """Right-singular vector for the smallest singular value of (..., m, n).
+
+    Uses eigh of AᵀA — TPU-friendly (no complex SVD path) and exactly what a
+    DLT null-space needs.
+    """
+    AtA = jnp.einsum("...mi,...mj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)   # ascending eigenvalues
+    return vecs[..., :, 0]
+
+
+def triangulate(se3_a_from_b: SE3, v2a: Array, v2b: Array) -> Array:
+    """DLT triangulation in frame B from two z=1-plane observations.
+
+    ref: MapMaker::Triangulate (src/MapMaker.cc:171-188). Same 4x4 DLT
+    system; null space via eigh(AᵀA). Broadcasts over leading dims.
+    """
+    R, t = se3_a_from_b.R, se3_a_from_b.t
+    PDash = jnp.concatenate([R, t[..., :, None]], axis=-1)  # (...,3,4)
+    xa, ya = v2a[..., 0], v2a[..., 1]
+    xb, yb = v2b[..., 0], v2b[..., 1]
+    zeros = jnp.zeros_like(xb)
+    row0 = jnp.stack([-jnp.ones_like(xb), zeros, xb, zeros], axis=-1)
+    row1 = jnp.stack([zeros, -jnp.ones_like(yb), yb, zeros], axis=-1)
+    row2 = xa[..., None] * PDash[..., 2, :] - PDash[..., 0, :]
+    row3 = ya[..., None] * PDash[..., 2, :] - PDash[..., 1, :]
+    A = jnp.stack([row0, row1, row2, row3], axis=-2)
+    v4 = _smallest_right_singular(A)
+    w = v4[..., 3]
+    w = jnp.where(jnp.abs(w) < 1e-5, jnp.where(w < 0, -1e-5, 1e-5), w)
+    return v4[..., :3] / w[..., None]
+
+
+def triangulate_depths(se3_a_from_b: SE3, v2a: Array, v2b: Array):
+    """Triangulate + return (point_in_B, depth_in_A, depth_in_B)."""
+    p_b = triangulate(se3_a_from_b, v2a, v2b)
+    p_a = se3lib.apply(se3_a_from_b, p_b)
+    return p_b, p_a[..., 2], p_b[..., 2]
+
+
+def umeyama_icp(src: Array, dst: Array, mask: Array | None = None) -> SE3:
+    """Rigid alignment dst ≈ R @ src + t via SVD of the cross-covariance.
+
+    Capability parity with cg::Tools::ComputeRtBySVD
+    (ref: src/Tools.cc:307-340). ``mask`` selects valid correspondences.
+    """
+    if mask is None:
+        mask = jnp.ones(src.shape[:-1], bool)
+    wsum = jnp.maximum(jnp.sum(mask.astype(src.dtype)), 1.0)
+    m = mask[..., None].astype(src.dtype)
+    mu_s = jnp.sum(src * m, axis=-2) / wsum
+    mu_d = jnp.sum(dst * m, axis=-2) / wsum
+    cs = (src - mu_s) * m
+    cd = (dst - mu_d) * m
+    H = jnp.einsum("...ni,...nj->...ij", cs, cd)
+    U, _, Vt = jnp.linalg.svd(H)
+    d = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
+    S = jnp.diag(jnp.array([1.0, 1.0, 1.0], src.dtype))
+    S = S.at[2, 2].set(d)
+    R = jnp.swapaxes(Vt, -1, -2) @ S @ jnp.swapaxes(U, -1, -2)
+    t = mu_d - R @ mu_s
+    return SE3(R, t)
+
+
+def sampson_error(essential: Array, v2a: Array, v2b: Array) -> Array:
+    """First-order geometric (Sampson) error for an essential matrix.
+
+    ref: HomographyInit SampsonusError (src/HomographyInit.cc:346-360).
+    v2a/v2b are z=1-plane coords; broadcasts over batches.
+    """
+    def unproj(v):
+        return jnp.concatenate([v, jnp.ones_like(v[..., :1])], axis=-1)
+
+    x1 = unproj(v2b)   # "Dash" frame in reference naming
+    x2 = unproj(v2a)
+    Ex1 = jnp.einsum("...ij,...j->...i", essential, x1)
+    Etx2 = jnp.einsum("...ji,...j->...i", essential, x2)
+    err = jnp.einsum("...i,...i->...", x2, Ex1)
+    denom = (Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2
+             + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2)
+    return err * err / jnp.maximum(denom, 1e-12)
