@@ -1,0 +1,146 @@
+"""Synthetic scene rendering: ground-truth sequences for tests & benches.
+
+The reference's only reproducible harness is TUM-RGBD dataset replay
+(ref: src/VideoSource.cc:59-159). We add a stronger one: a procedurally
+textured plane (plus optional raised blocks) rendered through the real
+ATAN camera model along an analytic trajectory — every frame comes with
+an exact ground-truth pose, so tracking accuracy (ATE) is measurable
+without external data. The planar scene is also exactly what PTAM's
+homography-based stereo init assumes (ref: src/HomographyInit.cc).
+
+Rendering is a jitted inverse-map: unproject every pixel through the
+camera, intersect with the scene, sample the texture bilinearly.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ptam_cg_tpu.camera import atan
+from ptam_cg_tpu.utils import se3 as se3lib
+from ptam_cg_tpu.utils.se3 import SE3
+
+Array = jax.Array
+
+
+def make_texture(key: Array, size: int = 512) -> Array:
+    """Multi-scale smooth noise texture in [0, 255] with plenty of
+    corner-like structure for FAST."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    base = jax.random.uniform(k1, (size, size))
+    # Coarse blobs: upsampled low-res noise.
+    coarse = jax.image.resize(jax.random.uniform(k2, (size // 8, size // 8)),
+                              (size, size), method="cubic")
+    mid = jax.image.resize(jax.random.uniform(k3, (size // 32, size // 32)),
+                           (size, size), method="nearest")
+    tex = 0.25 * base + 0.35 * coarse + 0.4 * mid
+    tex = tex - tex.min()
+    tex = tex / jnp.maximum(tex.max(), 1e-6)
+    return (tex * 235.0 + 10.0).astype(jnp.float32)
+
+
+def _tex_sample(tex: Array, uv: Array) -> Array:
+    """Bilinear sample with wraparound; uv in texture pixels."""
+    S = tex.shape[0]
+    u, v = uv[..., 0], uv[..., 1]
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    fu, fv = u - u0, v - v0
+    u0 = jnp.mod(u0, S)
+    v0 = jnp.mod(v0, S)
+    u1 = jnp.mod(u0 + 1, S)
+    v1 = jnp.mod(v0 + 1, S)
+    t00 = tex[v0, u0]
+    t01 = tex[v0, u1]
+    t10 = tex[v1, u0]
+    t11 = tex[v1, u1]
+    return (t00 * (1 - fu) * (1 - fv) + t01 * fu * (1 - fv)
+            + t10 * (1 - fu) * fv + t11 * fu * fv)
+
+
+def render_plane(cam: atan.Camera, T_cw: SE3, texture: Array,
+                 image_size: Tuple[int, int],
+                 tex_scale: float = 256.0) -> Array:
+    """Render the z=0 world plane through pose T_cw (world->camera).
+
+    ``tex_scale``: texture pixels per world unit (plane is tiled).
+    Returns (H, W) float32 image in [0, 255]; pixels whose ray misses the
+    plane render as 0.
+    """
+    W, H = image_size
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    pix = jnp.stack([xs, ys], axis=-1)
+    z1 = atan.unproject(pix, cam)                         # (H, W, 2)
+    ray_cam = jnp.concatenate([z1, jnp.ones_like(z1[..., :1])], axis=-1)
+
+    T_wc = se3lib.inv(T_cw)
+    origin = T_wc.t                                       # camera center
+    dir_w = ray_cam @ T_wc.R.T                            # (H, W, 3)
+
+    dz = dir_w[..., 2]
+    s = -origin[2] / jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
+    hit = (s > 0.05) & (jnp.abs(dz) > 1e-6)
+    xy_w = origin[:2] + s[..., None] * dir_w[..., :2]
+    vals = _tex_sample(texture, xy_w * tex_scale)
+    return jnp.where(hit, vals, 0.0)
+
+
+def orbit_trajectory(n_frames: int, height: float = 1.5,
+                     radius: float = 0.25, sweep: float = 0.8,
+                     look_at_z: float = 0.0) -> SE3:
+    """Smooth camera trajectory: lateral arc above the plane, always
+    looking at the origin region — batched SE3 (N poses, world->camera).
+
+    Frame 0 looks straight down from (0, 0, -height)... world convention:
+    plane is z=0, camera above it at negative z? We use camera z-forward
+    (+z in front), so put the camera at z = -height with +z axis toward
+    the plane.
+    """
+    t = jnp.linspace(0.0, 1.0, n_frames)
+    ang = sweep * t
+    cx = radius * jnp.sin(ang)
+    cy = 0.15 * radius * (1.0 - jnp.cos(2.0 * ang))
+    cz = -height + 0.05 * radius * jnp.sin(3.0 * ang)
+    centers = jnp.stack([cx, cy, cz], axis=-1)            # (N, 3)
+
+    target = jnp.array([0.0, 0.0, look_at_z], jnp.float32)
+    fwd = target[None] - centers
+    fwd = fwd / jnp.linalg.norm(fwd, axis=-1, keepdims=True)
+    up_hint = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    right = jnp.cross(jnp.broadcast_to(up_hint, fwd.shape), fwd)
+    right = right / jnp.linalg.norm(right, axis=-1, keepdims=True)
+    up = jnp.cross(fwd, right)
+    # Rows of R_cw are camera axes in world coords.
+    R_wc = jnp.stack([right, up, fwd], axis=-1)           # world <- cam
+    R_cw = jnp.swapaxes(R_wc, -1, -2)
+    t_cw = -jnp.einsum("nij,nj->ni", R_cw, centers)
+    return SE3(R_cw, t_cw)
+
+
+class SyntheticSequence:
+    """Host-side convenience: lazily renders frames of a ground-truth
+    sequence (the analog of VideoSourceDataSet's deterministic replay,
+    ref: src/VideoSource.cc:59-159)."""
+
+    def __init__(self, cam_params, image_size=(640, 480), n_frames=100,
+                 seed=0, height=1.5, radius=0.25, sweep=0.8,
+                 tex_scale=256.0):
+        self.cam = atan.make_camera(cam_params, image_size)
+        self.image_size = image_size
+        self.n_frames = n_frames
+        self.texture = make_texture(jax.random.PRNGKey(seed))
+        self.poses = orbit_trajectory(n_frames, height, radius, sweep)
+        self.tex_scale = tex_scale
+        self._render = jax.jit(
+            lambda T: render_plane(self.cam, T, self.texture,
+                                   self.image_size, self.tex_scale))
+
+    def pose(self, i: int) -> SE3:
+        return SE3(self.poses.R[i], self.poses.t[i])
+
+    def frame(self, i: int) -> Array:
+        return self._render(self.pose(i))

@@ -1,0 +1,339 @@
+"""Batched patch search: the engine's hottest path.
+
+TPU-native re-architecture of PatchFinder (ref: src/PatchFinder.cc). The
+reference searches each map point serially: warp an 8x8 template, scan FAST
+corners within a radius via a row LUT, score ZMSSD per corner
+(SSE-optimized upstream), then iterate inverse-composition sub-pixel
+alignment. Here all N points run at once:
+
+1. ``search_level_and_warp`` — vectorized warp matrix + level choice
+   (ref: CalcSearchLevelAndWarpMatrix, src/PatchFinder.cc:52-84).
+2. ``make_warped_templates`` — bilinear-gather template warps, all points
+   in one shot (ref: MakeTemplateCoarseCont, src/PatchFinder.cc:98-127).
+3. ``ssd_search`` — *dense windowed* ZMSSD: a static window around each
+   predicted position, 8x8 sliding sums via integral images, the cross
+   term as one grouped convolution on the MXU, candidates masked by the
+   dense FAST-corner mask (the dense-mask equivalent of the corner row
+   LUT, ref: FindPatchCoarse src/PatchFinder.cc:160-211).
+4. ``subpix_refine`` — batched inverse-composition iterations with the
+   3-DoF (x, y, mean-diff) Hessian (ref: MakeSubPixTemplate /
+   IterateSubPix, src/PatchFinder.cc:219-318).
+
+All positions here are *atlas* coordinates (see ops/levels.py) unless
+noted; conversion to/from level-0 happens at the call site.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ptam_cg_tpu.config import LEVELS, PATCH_SIZE
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# 1. Warp matrix & search level
+# ---------------------------------------------------------------------------
+
+class WarpResult(NamedTuple):
+    warp_inv: Array   # (N, 2, 2) level-0 pixels per source pixel
+    level: Array      # (N,) int32 chosen search level
+    good: Array       # (N,) bool — det in [0.25, 3] at chosen level
+
+
+def search_level_and_warp(p_cam: Array, R_cw: Array, pixel_right_w: Array,
+                          pixel_down_w: Array, cam_derivs: Array) -> WarpResult:
+    """Vectorized CalcSearchLevelAndWarpMatrix
+    (ref: src/PatchFinder.cc:52-84).
+
+    p_cam: (N, 3) point in current camera frame; R_cw: (3, 3) current
+    rotation; pixel_right_w/pixel_down_w: (N, 3) world-frame one-pixel
+    steps of the source patch (ref: MapPoint::RefreshPixelVectors,
+    src/Map.cc:40-65); cam_derivs: (N, 2, 2) projection derivatives.
+    """
+    z = p_cam[..., 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+
+    def col(motion_w):
+        m = motion_w @ R_cw.T                     # rotate into camera frame
+        v = (m[..., :2] - p_cam[..., :2] * (m[..., 2] * inv_z)[..., None])
+        v = v * inv_z[..., None]
+        return jnp.einsum("...ij,...j->...i", cam_derivs, v)
+
+    c0 = col(pixel_right_w)
+    c1 = col(pixel_down_w)
+    warp_inv = jnp.stack([c0, c1], axis=-1)       # columns like the ref
+    det = c0[..., 0] * c1[..., 1] - c0[..., 1] * c1[..., 0]
+    # level = number of quarterings needed to bring det <= 3, capped.
+    scaled = det[..., None] * (0.25 ** jnp.arange(LEVELS, dtype=jnp.float32))
+    level = jnp.minimum(jnp.sum((scaled > 3.0).astype(jnp.int32), axis=-1),
+                        LEVELS - 1)
+    det_at = jnp.take_along_axis(scaled, level[..., None],
+                                 axis=-1)[..., 0]
+    good = (det_at <= 3.0) & (det_at >= 0.25)
+    return WarpResult(warp_inv=warp_inv, level=level, good=good)
+
+
+def inv2x2(m: Array) -> Array:
+    """Batched 2x2 inverse (ref: cg::Tools::M2Inverse, include/Tools.h:54-66)."""
+    a, b = m[..., 0, 0], m[..., 0, 1]
+    c, d = m[..., 1, 0], m[..., 1, 1]
+    det = a * d - b * c
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    return (jnp.stack([
+        jnp.stack([d, -b], axis=-1),
+        jnp.stack([-c, a], axis=-1)], axis=-2) * inv_det[..., None, None])
+
+
+# ---------------------------------------------------------------------------
+# 2. Warped template generation
+# ---------------------------------------------------------------------------
+
+def _patch_grid(patch_size: int) -> Array:
+    """(P*P, 2) (x, y) offsets from the integer patch center (P//2, P//2)."""
+    c = patch_size // 2
+    ys, xs = jnp.mgrid[0:patch_size, 0:patch_size]
+    return jnp.stack([(xs - c).ravel(), (ys - c).ravel()],
+                     axis=-1).astype(jnp.float32)
+
+
+def make_warped_templates(kf_atlases: Array, kf_idx: Array,
+                          src_center: Array, m2: Array,
+                          src_bounds: Array,
+                          patch_size: int = PATCH_SIZE) -> tuple:
+    """Warp templates for all points at once.
+
+    kf_atlases: (K, Ha, Wa) keyframe pyramid atlases; kf_idx: (N,) source
+    KF per point; src_center: (N, 2) source patch center in atlas coords;
+    m2: (N, 2, 2) source pixels per template pixel (= inv(warp_inv) *
+    2^level, ref: src/PatchFinder.cc:104); src_bounds: (N, 4) atlas-coord
+    (x0, y0, x1, y1) of the source *level* rect, to detect out-of-level
+    samples (the ref's nOutside check).
+
+    Returns (templates (N, P, P), good (N,)).
+    """
+    offsets = _patch_grid(patch_size)               # (P*P, 2)
+    pts = src_center[:, None, :] + jnp.einsum(
+        "nij,pj->npi", m2, offsets)                 # (N, P*P, 2)
+
+    def sample_one(atlas_idx, p):
+        im = kf_atlases[atlas_idx]
+        x, y = p[..., 0], p[..., 1]
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = x - x0
+        fy = y - y0
+        H, W = im.shape
+        x0c = jnp.clip(x0, 0, W - 2)
+        y0c = jnp.clip(y0, 0, H - 2)
+        v00 = im[y0c, x0c]
+        v01 = im[y0c, x0c + 1]
+        v10 = im[y0c + 1, x0c]
+        v11 = im[y0c + 1, x0c + 1]
+        return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+                + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+    vals = jax.vmap(sample_one)(kf_idx, pts)        # (N, P*P)
+    inside = ((pts[..., 0] >= src_bounds[:, None, 0]) &
+              (pts[..., 1] >= src_bounds[:, None, 1]) &
+              (pts[..., 0] <= src_bounds[:, None, 2] - 1.0) &
+              (pts[..., 1] <= src_bounds[:, None, 3] - 1.0))
+    good = jnp.all(inside, axis=-1)
+    return vals.reshape(-1, patch_size, patch_size), good
+
+
+# ---------------------------------------------------------------------------
+# 3. Dense windowed ZMSSD / SSD search
+# ---------------------------------------------------------------------------
+
+class SearchResult(NamedTuple):
+    pos: Array      # (N, 2) float atlas coords of best integer candidate
+    ssd: Array      # (N,) best score
+    found: Array    # (N,) bool
+
+
+def _integral_window_sums(win: Array, patch_size: int) -> Array:
+    """8x8 (patch_size^2) block sums at every top-left of win (N, D, D)
+    -> (N, D-P+1, D-P+1) via 2-D integral images."""
+    ii = jnp.cumsum(jnp.cumsum(win, axis=-1), axis=-2)
+    ii = jnp.pad(ii, [(0, 0), (1, 0), (1, 0)])
+    P = patch_size
+    return (ii[:, P:, P:] - ii[:, P:, :-P] - ii[:, :-P, P:]
+            + ii[:, :-P, :-P])
+
+
+def ssd_search(atlas: Array, corner_mask: Array, templates: Array,
+               centers: Array, radius: Array, bounds: Array, *,
+               r_win: int, max_ssd: float, zero_mean: bool = True,
+               require_corner: bool = True,
+               patch_size: int = PATCH_SIZE) -> SearchResult:
+    """Batched windowed (ZM)SSD search.
+
+    atlas: (Ha, Wa) current-frame pyramid atlas; corner_mask: (Ha, Wa)
+    bool FAST-corner mask; templates: (N, P, P); centers: (N, 2) predicted
+    positions (atlas float coords); radius: (N,) search radius in level
+    pixels (value-level — the static window is r_win); bounds: (N, 4)
+    (x0, y0, x1, y1) level rect per point.
+
+    ZMSSD formula matches ImageProcess::ZMSSDAtPoint exactly
+    (ref: src/ImageProcess.cc:130-163).
+    """
+    N = templates.shape[0]
+    P = patch_size
+    ph = P // 2
+    D = 2 * r_win + P                 # window side
+    M = 2 * r_win + 1                 # candidate-map side
+    Ha, Wa = atlas.shape
+
+    base = jnp.round(centers).astype(jnp.int32)           # (N, 2) x,y
+    origin_x = jnp.clip(base[:, 0] - r_win - ph, 0, Wa - D)
+    origin_y = jnp.clip(base[:, 1] - r_win - ph, 0, Ha - D)
+
+    def slice_one(oy, ox):
+        return jax.lax.dynamic_slice(atlas, (oy, ox), (D, D))
+
+    win = jax.vmap(slice_one)(origin_y, origin_x)          # (N, D, D)
+
+    def slice_mask(oy, ox):
+        return jax.lax.dynamic_slice(
+            corner_mask.astype(jnp.float32), (oy + ph, ox + ph), (M, M))
+
+    cmask = jax.vmap(slice_mask)(origin_y, origin_x) > 0.5  # (N, M, M)
+
+    # Sliding sums of image and image^2 (integral images).
+    SA_t = jnp.sum(templates, axis=(-2, -1))               # template sum
+    SSQ_t = jnp.sum(templates * templates, axis=(-2, -1))
+    S_img = _integral_window_sums(win, P)                  # (N, M, M)
+    SSQ_img = _integral_window_sums(win * win, P)
+
+    # Cross term: one grouped convolution (per-point kernel).
+    lhs = win[None]                                        # (1, N, D, D)
+    rhs = templates[:, None]                               # (N, 1, P, P)
+    cross = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=N,
+        precision=jax.lax.Precision.HIGHEST)[0]            # (N, M, M)
+
+    npix = float(P * P)
+    if zero_mean:
+        ssd = ((2.0 * SA_t[:, None, None] * S_img
+                - SA_t[:, None, None] ** 2 - S_img * S_img) / npix
+               + SSQ_img + SSQ_t[:, None, None] - 2.0 * cross)
+    else:
+        ssd = SSQ_img + SSQ_t[:, None, None] - 2.0 * cross
+
+    # Candidate positions: patch centers in atlas coords.
+    gx = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    gy = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+    pos_x = origin_x[:, None, None] + gx + ph              # (N, M, M)
+    pos_y = origin_y[:, None, None] + gy + ph
+
+    dx = pos_x.astype(jnp.float32) - centers[:, 0, None, None]
+    dy = pos_y.astype(jnp.float32) - centers[:, 1, None, None]
+    in_radius = dx * dx + dy * dy <= (radius ** 2)[:, None, None]
+    # Patch (+1 border for subpix) must stay inside the level rect.
+    b = ph + 1
+    in_level = ((pos_x.astype(jnp.float32) - b >= bounds[:, None, None, 0]) &
+                (pos_y.astype(jnp.float32) - b >= bounds[:, None, None, 1]) &
+                (pos_x.astype(jnp.float32) + b <= bounds[:, None, None, 2]) &
+                (pos_y.astype(jnp.float32) + b <= bounds[:, None, None, 3]))
+    ok = in_radius & in_level
+    if require_corner:
+        ok = ok & cmask
+
+    big = jnp.float32(3.4e38)
+    ssd = jnp.where(ok, ssd, big)
+    flat = ssd.reshape(N, -1)
+    best = jnp.argmin(flat, axis=-1)
+    best_ssd = jnp.take_along_axis(flat, best[:, None], axis=-1)[:, 0]
+    bx = jnp.take_along_axis(pos_x.reshape(N, -1), best[:, None],
+                             axis=-1)[:, 0]
+    by = jnp.take_along_axis(pos_y.reshape(N, -1), best[:, None],
+                             axis=-1)[:, 0]
+    found = best_ssd < max_ssd
+    pos = jnp.stack([bx, by], axis=-1).astype(jnp.float32)
+    return SearchResult(pos=pos, ssd=best_ssd, found=found)
+
+
+# ---------------------------------------------------------------------------
+# 4. Inverse-composition sub-pixel refinement
+# ---------------------------------------------------------------------------
+
+class SubPixResult(NamedTuple):
+    pos: Array        # (N, 2) refined atlas coords
+    converged: Array  # (N,) bool
+
+
+def subpix_refine(atlas: Array, templates: Array, pos0: Array,
+                  bounds: Array, *, max_its: int = 10,
+                  conv_limit: float = 0.03,
+                  patch_size: int = PATCH_SIZE) -> SubPixResult:
+    """Batched inverse-composition alignment
+    (ref: MakeSubPixTemplate + IterateSubPix, src/PatchFinder.cc:219-318).
+
+    3 DoF per point: (x, y, mean difference). Jacobians/Hessian come from
+    the *template* (inverse composition), so they're computed once.
+    """
+    N = templates.shape[0]
+    P = patch_size
+    ph = P // 2
+
+    # Template gradients on the interior (P-2)x(P-2), WITH the 0.5 factor
+    # (ref: src/PatchFinder.cc:226-229).
+    gx = 0.5 * (templates[:, 1:-1, 2:] - templates[:, 1:-1, :-2])
+    gy = 0.5 * (templates[:, 2:, 1:-1] - templates[:, :-2, 1:-1])
+    ones = jnp.ones_like(gx)
+    J = jnp.stack([gx, gy, ones], axis=-1).reshape(N, -1, 3)  # (N, Q, 3)
+    H = jnp.einsum("nqi,nqj->nij", J, J)
+    Hinv = jnp.linalg.inv(H + 1e-9 * jnp.eye(3))
+
+    # Interior-pixel offsets relative to the patch center.
+    ys, xs = jnp.mgrid[1: P - 1, 1: P - 1]
+    off = jnp.stack([(xs - ph).ravel(), (ys - ph).ravel()],
+                    axis=-1).astype(jnp.float32)              # (Q, 2)
+    t_interior = templates[:, 1:-1, 1:-1].reshape(N, -1)      # (N, Q)
+
+    Ha, Wa = atlas.shape
+
+    def bilinear(pts):
+        x, y = pts[..., 0], pts[..., 1]
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx, fy = x - x0, y - y0
+        x0c = jnp.clip(x0, 0, Wa - 2)
+        y0c = jnp.clip(y0, 0, Ha - 2)
+        v00 = atlas[y0c, x0c]
+        v01 = atlas[y0c, x0c + 1]
+        v10 = atlas[y0c + 1, x0c]
+        v11 = atlas[y0c + 1, x0c + 1]
+        return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+                + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+    def body(_, state):
+        pos, mean_diff, conv, failed = state
+        in_im = ((pos[:, 0] - ph - 1 >= bounds[:, 0]) &
+                 (pos[:, 1] - ph - 1 >= bounds[:, 1]) &
+                 (pos[:, 0] + ph + 1 <= bounds[:, 2]) &
+                 (pos[:, 1] + ph + 1 <= bounds[:, 3]))
+        failed = failed | ~in_im
+        pts = pos[:, None, :] + off[None]                     # (N, Q, 2)
+        cur = bilinear(pts)                                   # (N, Q)
+        diff = cur - t_interior + mean_diff[:, None]
+        accum = jnp.einsum("nq,nqi->ni", diff, J)             # (N, 3)
+        upd = jnp.einsum("nij,nj->ni", Hinv, accum)
+        active = ~(conv | failed)
+        pos = jnp.where(active[:, None], pos - upd[:, :2], pos)
+        mean_diff = jnp.where(active, mean_diff - upd[:, 2], mean_diff)
+        step_sq = jnp.sum(upd[:, :2] ** 2, axis=-1)
+        conv = conv | (active & (step_sq < conv_limit * conv_limit))
+        return pos, mean_diff, conv, failed
+
+    init = (pos0, jnp.zeros(N, jnp.float32), jnp.zeros(N, bool),
+            jnp.zeros(N, bool))
+    pos, _, conv, failed = jax.lax.fori_loop(0, max_its, body, init)
+    return SubPixResult(pos=pos, converged=conv & ~failed)
