@@ -85,16 +85,23 @@ class TrackerConfig:
     mestimator: str = "tukey"
     #: GN iterations per stage (ref: src/Tracker.cc:552,615).
     pose_iterations: int = 10
-    #: Fine-stage search range in px: 10 if coarse was done, else 5
-    #: (ref: src/Tracker.cc:578-585).
-    fine_range_after_coarse: float = 10.0
-    fine_range_no_coarse: float = 5.0
+    #: Fine-stage search range in px: 5 if coarse already ran (pose is
+    #: good), else 10 (ref: src/Tracker.cc:578 "mbDidCoarse ? 5 : 10").
+    fine_range_after_coarse: float = 5.0
+    fine_range_no_coarse: float = 10.0
     #: Lost-frame count that triggers relocalization (ref: src/Tracker.cc:129).
     max_lost_frames: int = 2
     #: Min frames between keyframes (ref: src/Tracker.cc:163 "20 frames").
     min_frames_between_kfs: int = 20
     #: Trail-init minimum surviving trails (ref: src/Tracker.cc:328-332).
     min_trails: int = 10
+    #: Sub-pixel-refine EVERY fine-stage measurement, not only level-3.
+    #: The reference restricts subpix to level-3 fine points purely for
+    #: CPU cost (ref: src/Tracker.cc:586-607); the batched TPU search
+    #: computes the refinement for all points anyway, and using it removes
+    #: the systematic integer-corner quantization bias. Set False for
+    #: strict reference-behavior parity.
+    subpix_all: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,16 +40,23 @@ def level_scale(level) -> Array:
     return jnp.left_shift(1, level).astype(jnp.float32)
 
 
+def _broadcast_scale(p: Array, level) -> Array:
+    """2^level broadcast against p: a (N,) level array pairs with (N, 2)
+    coordinate arrays by gaining a trailing axis."""
+    s = jnp.asarray(level_scale(level))
+    if s.ndim == jnp.ndim(p) - 1:
+        s = s[..., None]
+    return s
+
+
 def level_zero_pos(p: Array, level) -> Array:
     """Level-l coords -> level-0 coords (ref: include/KeyFrame.h:90-93)."""
-    s = level_scale(level)
-    return (p + 0.5) * s - 0.5
+    return (p + 0.5) * _broadcast_scale(p, level) - 0.5
 
 
 def level_n_pos(p: Array, level) -> Array:
     """Level-0 coords -> level-l coords (ref: include/KeyFrame.h:112-115)."""
-    s = level_scale(level)
-    return (p + 0.5) / s - 0.5
+    return (p + 0.5) / _broadcast_scale(p, level) - 0.5
 
 
 def atlas_shape(h: int, w: int) -> Tuple[int, int]:

@@ -1,0 +1,167 @@
+"""Tracker integration tests: track synthetic frames against a ground-truth
+map (exercises map_state + patch search + GN pose solve end-to-end,
+ref behavior: Tracker::TrackMap src/Tracker.cc:442-698)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptam_cg_tpu.camera import atan
+from ptam_cg_tpu.config import TrackerConfig
+from ptam_cg_tpu.io import synth
+from ptam_cg_tpu.models import keyframe, map_state, tracker
+from ptam_cg_tpu.ops import levels as levelops
+from ptam_cg_tpu.utils import se3 as se3lib
+from ptam_cg_tpu.utils.se3 import SE3
+
+REF_PARAMS = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
+SIZE = (320, 240)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    seq = synth.SyntheticSequence(REF_PARAMS, image_size=SIZE, n_frames=8,
+                                  seed=3, height=1.5, radius=0.12,
+                                  sweep=0.6)
+    cam = seq.cam
+    f0 = seq.frame(0)
+    ff0 = keyframe.build_frame(f0, candidate_min_score=100.0)
+    pose0 = seq.pose(0)
+
+    m = map_state.empty_map(SIZE, max_points=512, max_kfs=4, max_meas=256)
+    m = map_state.insert_keyframe(m, 0, ff0, pose0, 1.5, 0.1)
+
+    # Build ground-truth map points from frame-0 candidates: unproject
+    # through the known pose onto the z=0 plane.
+    W, H = SIZE
+    pts, centers, levels_l, count = [], [], [], 0
+    cand_xy = np.asarray(ff0.cand_xy)
+    cand_valid = np.asarray(ff0.cand_valid)
+    T_wc = se3lib.inv(pose0)
+    for lev in range(4):
+        xy = cand_xy[lev][cand_valid[lev]]
+        for (x, y) in xy[:150]:
+            p0 = np.asarray(levelops.level_zero_pos(
+                jnp.array([float(x), float(y)]), lev))
+            z1 = np.asarray(atan.unproject(jnp.asarray(p0, jnp.float32),
+                                           cam))
+            ray = np.array([z1[0], z1[1], 1.0], np.float32)
+            dir_w = np.asarray(T_wc.R) @ ray
+            origin = np.asarray(T_wc.t)
+            s = -origin[2] / dir_w[2]
+            if s <= 0:
+                continue
+            pts.append(origin + s * dir_w)
+            centers.append([float(x), float(y)])
+            levels_l.append(lev)
+            count += 1
+            if count >= 400:
+                break
+        if count >= 400:
+            break
+
+    n = len(pts)
+    P = m.point_pos.shape[0]
+    pos = np.zeros((P, 3), np.float32)
+    pos[:n] = np.stack(pts)
+    ctr = np.zeros((P, 2), np.float32)
+    ctr[:n] = np.stack(centers)
+    lv = np.zeros(P, np.int32)
+    lv[:n] = np.array(levels_l)
+    valid = np.arange(P) < n
+
+    c_nc, r_nc, d_nc, nrm = map_state.make_point_rays(
+        jnp.asarray(ctr), jnp.asarray(lv), pose0, cam, SIZE)
+    m = m._replace(
+        point_pos=jnp.asarray(pos), point_valid=jnp.asarray(valid),
+        point_src_kf=jnp.zeros(P, jnp.int32),
+        point_src_level=jnp.asarray(lv), point_center=jnp.asarray(ctr),
+        point_center_nc=c_nc, point_right_nc=r_nc, point_down_nc=d_nc,
+        point_normal_nc=nrm, good=jnp.asarray(True))
+    m = map_state.refresh_pixel_vectors(m)
+    return seq, cam, m, ff0
+
+
+def pose_errors(est: SE3, gt: SE3):
+    rel = se3lib.mul(est, se3lib.inv(gt))
+    rot_err = float(jnp.linalg.norm(se3lib.so3_log(rel.R)))
+    # Camera-center error in world units.
+    c_est = -np.asarray(est.R).T @ np.asarray(est.t)
+    c_gt = -np.asarray(gt.R).T @ np.asarray(gt.t)
+    return rot_err, float(np.linalg.norm(c_est - c_gt))
+
+
+def test_track_map_refines_perturbed_pose(setup):
+    seq, cam, m, _ = setup
+    gt = seq.pose(2)
+    frame2 = keyframe.build_frame(seq.frame(2), candidate_min_score=100.0)
+    # Perturb ground truth by a few pixels worth of motion.
+    pert = jnp.array([0.01, -0.008, 0.005, 0.004, -0.003, 0.002])
+    pose_init = se3lib.mul(se3lib.se3_exp(pert), gt)
+    r0, t0 = pose_errors(pose_init, gt)
+
+    res = tracker.track_map(m, frame2, pose_init, cam, SIZE,
+                            jax.random.PRNGKey(0), jnp.float32(0.0),
+                            jnp.asarray(False))
+    r1, t1 = pose_errors(res.pose, gt)
+    nfound = int(jnp.sum(res.meas_valid))
+    assert nfound > 30, nfound
+    assert r1 < r0 * 0.3, (r0, r1)
+    assert t1 < t0 * 0.3, (t0, t1)
+    assert r1 < 0.005, r1
+    assert t1 < 0.01, t1
+
+
+def test_track_map_stats_populated(setup):
+    seq, cam, m, _ = setup
+    gt = seq.pose(1)
+    frame1 = keyframe.build_frame(seq.frame(1), candidate_min_score=100.0)
+    res = tracker.track_map(m, frame1, gt, cam, SIZE,
+                            jax.random.PRNGKey(1), jnp.float32(0.0),
+                            jnp.asarray(False))
+    assert int(jnp.sum(res.attempted)) > 50
+    assert int(jnp.sum(res.found)) > 30
+    assert float(res.depth_mean) == pytest.approx(1.5, rel=0.2)
+    # Measurements reference valid map points.
+    mv = np.asarray(res.meas_valid)
+    mp = np.asarray(res.meas_point)[mv]
+    assert np.all(np.asarray(m.point_valid)[mp])
+
+
+def test_track_frame_full_step(setup):
+    seq, cam, m, ff0 = setup
+    gt1 = seq.pose(1)
+    frame1 = keyframe.build_frame(seq.frame(1), candidate_min_score=100.0)
+    state = tracker.init_tracker_state(seq.pose(0))
+    out = tracker.track_frame(
+        state, m, frame1, ff0.sbi, cam, SIZE,
+        jnp.asarray(REF_PARAMS, jnp.float32), jax.random.PRNGKey(2))
+    r, t = pose_errors(out.state.pose, gt1)
+    assert r < 0.01, r
+    assert t < 0.02, t
+    assert int(out.state.quality) == tracker.QUALITY_GOOD
+    assert int(out.state.lost_frames) == 0
+    # Velocity reflects the inter-frame motion.
+    assert float(jnp.linalg.norm(out.state.velocity)) > 1e-5
+
+
+def test_track_sequence_accumulates_ate(setup):
+    """Track frames 1..5 sequentially from the frame-0 map; ATE stays
+    bounded (the minimal end-to-end slice of BASELINE config 1)."""
+    seq, cam, m, ff0 = setup
+    state = tracker.init_tracker_state(seq.pose(0))
+    prev_sbi = ff0.sbi
+    step = jax.jit(lambda s, f, ps, k: tracker.track_frame(
+        s, m, f, ps, cam, SIZE, jnp.asarray(REF_PARAMS, jnp.float32), k))
+    errs = []
+    for i in range(1, 6):
+        ff = keyframe.build_frame(seq.frame(i), candidate_min_score=100.0)
+        out = step(state, ff, prev_sbi, jax.random.PRNGKey(i))
+        state = out.state
+        prev_sbi = ff.sbi
+        r, t = pose_errors(state.pose, seq.pose(i))
+        errs.append(t)
+    ate = float(np.sqrt(np.mean(np.square(errs))))
+    assert ate < 0.02, errs   # < 2cm on a 1.5m-high orbit
+    assert int(state.quality) == tracker.QUALITY_GOOD
