@@ -1,0 +1,296 @@
+"""Bundle adjustment: sparse Levenberg-Marquardt with Schur complement,
+re-architected as dense blocked tensor algebra on the MXU.
+
+Capability parity with the reference Bundle (ref: src/Bundle.cc, Hartley &
+Zisserman Algo A6.4). The reference walks measurement lists accumulating
+triangle-packed U/V/W blocks and assembles the reduced camera system S via
+per-point "off-diagonal scripts" (ref: src/Bundle.cc:364-446, 572-599).
+Here:
+
+- measurements are a fixed-capacity masked table; per-measurement 2x6/2x3
+  jacobians are one batched einsum (ref jac math: src/Bundle.cc:290-313)
+- U/V/W accumulate via segment-sums; W is scattered into a dense
+  (P, C, 6, 3) block tensor so S = U* - W V*^-1 W^T is two einsums — the
+  off-diag scripts disappear entirely
+- the inner lambda-retry loop (ref: src/Bundle.cc:337-521) is a
+  jax.lax.while_loop with functional state
+- robust Tukey reweighting with the reference's sigma floor
+  (min 0.4 px, ref: src/Bundle.cc:230-237) and weight-zero outlier
+  pruning with provenance reporting (ref: src/Bundle.cc:535-549)
+
+One ``lm_step`` is one XLA program; ``compute`` loops steps on the host so
+a pending keyframe can abort between steps exactly like the reference's
+abort-flag polling (ref: src/Bundle.cc:134, 338; src/MapMaker.cc:486-487).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ptam_cg_tpu.camera import atan
+from ptam_cg_tpu.config import BundleConfig
+from ptam_cg_tpu.utils import mest
+from ptam_cg_tpu.utils import se3 as se3lib
+from ptam_cg_tpu.utils.se3 import SE3
+
+Array = jax.Array
+
+
+class BundleProblem(NamedTuple):
+    """Static-shape BA problem (capacities carried by shapes)."""
+
+    cam_R: Array        # (C, 3, 3) world->cam
+    cam_t: Array        # (C, 3)
+    cam_fixed: Array    # (C,) bool — pose held constant (ref: Bundle.cc:46-63)
+    cam_valid: Array    # (C,) bool
+    pt_pos: Array       # (P, 3)
+    pt_valid: Array     # (P,) bool
+    meas_cam: Array     # (M,) int32
+    meas_pt: Array      # (M,) int32
+    meas_pos: Array     # (M, 2) found level-0 pixel position
+    meas_sqrt_inv_noise: Array  # (M,) = 1 / 2^level
+    meas_valid: Array   # (M,) bool — still-active measurement
+    meas_bad: Array     # (M,) bool — pruned outlier
+
+
+class LMState(NamedTuple):
+    problem: BundleProblem
+    lam: Array            # () LM lambda
+    lam_factor: Array     # ()
+    converged: Array      # () bool
+    accepted: Array       # () int32 — number of accepted steps
+    iters: Array          # () int32 — inner iterations consumed
+    last_error: Array     # ()
+
+
+def init_lm(problem: BundleProblem, cfg: BundleConfig = BundleConfig()
+            ) -> LMState:
+    return LMState(problem=problem,
+                   lam=jnp.float32(cfg.lambda_initial),
+                   lam_factor=jnp.float32(cfg.lambda_factor_initial),
+                   converged=jnp.asarray(False),
+                   accepted=jnp.int32(0), iters=jnp.int32(0),
+                   last_error=jnp.float32(jnp.inf))
+
+
+def _project_meas(cam_R, cam_t, pt_pos, prob: BundleProblem, cam: atan.Camera):
+    """Project every measurement; returns (p_cam, eps, err_sq, bad_proj)
+    (ref: Bundle::ProjectAndFindSquaredError, src/Bundle.cc:66-88)."""
+    R = cam_R[prob.meas_cam]                     # (M, 3, 3)
+    t = cam_t[prob.meas_cam]
+    p = pt_pos[prob.meas_pt]
+    p_cam = jnp.einsum("mij,mj->mi", R, p) + t
+    z = p_cam[..., 2]
+    bad_proj = z <= 1e-6
+    safe_z = jnp.where(bad_proj, 1.0, z)
+    z1 = p_cam[..., :2] / safe_z[..., None]
+    pix = atan.project(z1, cam)
+    eps = prob.meas_sqrt_inv_noise[:, None] * (prob.meas_pos - pix)
+    err_sq = jnp.sum(eps * eps, axis=-1)
+    return p_cam, z1, eps, err_sq, bad_proj
+
+
+def _jacobians(p_cam, z1, cam_R_meas, cam: atan.Camera, scale):
+    """(A (M,2,6), B (M,2,3)) with per-measurement scaling folded in
+    (ref: src/Bundle.cc:286-313: sqrt-weight * sqrt-inv-noise applied via
+    the camera-derivative matrix)."""
+    derivs = atan.project_derivs(z1, cam) * scale[:, None, None]
+    z = p_cam[..., 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+
+    gen = se3lib.motion_jacobian(p_cam)          # (M, 6, 3)
+    plane_a = (gen[..., :2] - p_cam[..., None, :2] * gen[..., 2:]
+               * inv_z[..., None, None]) * inv_z[..., None, None]
+    A = jnp.einsum("mij,mnj->min", derivs, plane_a)      # (M, 2, 6)
+
+    # B: motion of p_cam per unit world-point motion = columns of R.
+    cols = jnp.swapaxes(cam_R_meas, -1, -2)               # (M, 3(col), 3)
+    plane_b = (cols[..., :2] - p_cam[..., None, :2] * cols[..., 2:]
+               * inv_z[..., None, None]) * inv_z[..., None, None]
+    B = jnp.einsum("mij,mnj->min", derivs, plane_b)       # (M, 2, 3)
+    return A, B
+
+
+def lm_step(state: LMState, cam: atan.Camera,
+            cfg: BundleConfig = BundleConfig(),
+            mest_kind: int = mest.TUKEY) -> LMState:
+    """One full LM step (ref: Bundle::Do_LM_Step, src/Bundle.cc:209-551):
+    robust sigma, U/V/W accumulation, inner lambda-retry loop, accept,
+    outlier pruning. Jittable."""
+    prob = state.problem
+    C = prob.cam_R.shape[0]
+    P = prob.pt_pos.shape[0]
+
+    active = prob.meas_valid & ~prob.meas_bad
+
+    # ---- (i) project, robust sigma, weights -----------------------------
+    p_cam, z1, eps, err_sq, bad_proj = _project_meas(
+        prob.cam_R, prob.cam_t, prob.pt_pos, prob, cam)
+    ok = active & ~bad_proj
+    sigma_sq = mest.find_sigma_squared(err_sq, ok, mest_kind,
+                                       min_sigma=cfg.min_sigma)
+    w_sqrt = jnp.where(ok, mest.sqrt_weight(err_sq, sigma_sq, mest_kind),
+                       0.0)
+    new_bad = active & (bad_proj | (w_sqrt == 0.0))
+    good = active & ~new_bad
+    current_error = (jnp.sum(jnp.where(
+        good, mest.objective(err_sq, sigma_sq, mest_kind), 0.0))
+        + jnp.sum(new_bad.astype(jnp.float32)))
+
+    eps_w = eps * w_sqrt[:, None]
+
+    # ---- jacobians + accumulators --------------------------------------
+    scale = prob.meas_sqrt_inv_noise * w_sqrt * good.astype(jnp.float32)
+    A, B = _jacobians(p_cam, z1, prob.cam_R[prob.meas_cam], cam, scale)
+    fixed_m = prob.cam_fixed[prob.meas_cam]
+    A = jnp.where(fixed_m[:, None, None], 0.0, A)
+
+    U = jnp.zeros((C, 6, 6)).at[prob.meas_cam].add(
+        jnp.einsum("mia,mib->mab", A, A), mode="drop")
+    ea = jnp.zeros((C, 6)).at[prob.meas_cam].add(
+        jnp.einsum("mia,mi->ma", A, eps_w), mode="drop")
+    V = jnp.zeros((P, 3, 3)).at[prob.meas_pt].add(
+        jnp.einsum("mia,mib->mab", B, B), mode="drop")
+    eb = jnp.zeros((P, 3)).at[prob.meas_pt].add(
+        jnp.einsum("mia,mi->ma", B, eps_w), mode="drop")
+    Wm = jnp.einsum("mia,mib->mab", A, B)                 # (M, 6, 3)
+    # Dense per-(point, cam) W blocks: the off-diag scripts, vectorized.
+    Wfull = jnp.zeros((P, C, 6, 3)).at[prob.meas_pt, prob.meas_cam].add(
+        Wm, mode="drop")
+
+    free = prob.cam_valid & ~prob.cam_fixed               # (C,)
+    free_f = free.astype(jnp.float32)
+
+    # ---- inner lambda loop ----------------------------------------------
+    def try_lambda(carry):
+        lam, lam_factor, _, _, _, n_inner, _conv = carry
+
+        # V* inverse with lambda-augmented diagonal
+        # (ref: src/Bundle.cc:341-359; zero if V is rank-deficient).
+        Vstar = V * (jnp.ones((3, 3)) + lam * jnp.eye(3))
+        diag_prod = V[:, 0, 0] * V[:, 1, 1] * V[:, 2, 2]
+        Vinv = jnp.linalg.inv(Vstar + 1e-12 * jnp.eye(3))
+        Vinv = jnp.where((diag_prod == 0.0)[:, None, None], 0.0, Vinv)
+
+        # S diag + off-diag in one shot: S = U* - sum_p W V^-1 W^T.
+        WV = jnp.einsum("pcab,pbd->pcad", Wfull, Vinv)    # (P, C, 6, 3)
+        S_off = jnp.einsum("pjad,pkbd->jakb", WV, Wfull)  # (C,6,C,6)
+        Ustar = U * (jnp.ones((6, 6)) + lam * jnp.eye(6))
+        S = -S_off
+        S = S + jnp.einsum("jab,jk->jakb", Ustar,
+                           jnp.eye(C))                    # add diag blocks
+        rhs = ea - jnp.einsum("pcad,pd->ca", WV, eb)      # (C, 6)
+
+        # Fixed/invalid cameras: identity block, zero rhs.
+        blk = free_f[:, None, None, None] * free_f[None, None, :, None]
+        S = S * blk + jnp.einsum(
+            "jab,jk->jakb", jnp.eye(6)[None].repeat(C, 0),
+            jnp.eye(C)) * (1.0 - free_f)[:, None, None, None]
+        rhs = rhs * free_f[:, None]
+
+        Sm = S.reshape(C * 6, C * 6)
+        # Solve via Cholesky (S is SPD for lam > 0).
+        delta_cam = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(
+                Sm + 1e-8 * jnp.eye(C * 6), lower=True),
+            rhs.reshape(-1)).reshape(C, 6)
+        delta_cam = delta_cam * free_f[:, None]
+
+        # Back-substitute point updates (ref: src/Bundle.cc:461-483).
+        corr = jnp.einsum("pcad,ca->pd", Wfull, delta_cam)  # (P, 3)
+        delta_pt = jnp.einsum("pab,pb->pa", Vinv, eb - corr)
+        delta_pt = delta_pt * prob.pt_valid[:, None]
+
+        upd_sq = jnp.sum(delta_cam ** 2) + jnp.sum(delta_pt ** 2)
+        conv = upd_sq < cfg.update_squared_convergence_limit
+
+        # Trial state + new error (ref: FindNewError, src/Bundle.cc:174-203).
+        d_pose = se3lib.se3_exp(delta_cam)                # batched SE3
+        new_R = jnp.einsum("cij,cjk->cik", d_pose.R, prob.cam_R)
+        new_t = (jnp.einsum("cij,cj->ci", d_pose.R, prob.cam_t)
+                 + d_pose.t)
+        new_pt = prob.pt_pos + delta_pt
+        _, _, _, new_err_sq, nb = _project_meas(new_R, new_t, new_pt,
+                                                prob, cam)
+        new_error = (jnp.sum(jnp.where(
+            good & ~nb, mest.objective(new_err_sq, sigma_sq, mest_kind),
+            0.0)) + jnp.sum((new_bad | (active & nb)).astype(jnp.float32)))
+
+        return (lam, lam_factor, new_R, new_t, new_pt, n_inner + 1,
+                conv), new_error
+
+    def cond_fn(full):
+        carry, new_error = full
+        lam, lam_factor, _, _, _, n_inner, conv = carry
+        hit_max = (state.iters + n_inner) >= cfg.max_iterations
+        return (new_error > current_error) & ~conv & ~hit_max
+
+    def body_fn(full):
+        carry, _ = full
+        lam, lam_factor, R_, t_, p_, n_inner, conv = carry
+        # Bad step: raise lambda (ref: ModifyLambda_BadStep,
+        # src/Bundle.cc:606-611) and retry.
+        lam_factor = lam_factor * 2.0
+        lam = lam * lam_factor
+        return try_lambda((lam, lam_factor, R_, t_, p_, n_inner, conv))
+
+    first = try_lambda((state.lam, state.lam_factor, prob.cam_R,
+                        prob.cam_t, prob.pt_pos, jnp.int32(0),
+                        jnp.asarray(False)))
+    (lam, lam_factor, new_R, new_t, new_pt, n_inner, conv), new_error = (
+        jax.lax.while_loop(cond_fn, body_fn, first))
+
+    accept = new_error < current_error
+    # Good step: lambda *= 0.3, factor reset (ref: ModifyLambda_GoodStep).
+    lam = jnp.where(accept, jnp.maximum(lam * cfg.lambda_good_mult, 1e-10),
+                    lam)
+    lam_factor = jnp.where(accept, jnp.float32(cfg.lambda_factor_initial),
+                           lam_factor)
+
+    sel = accept
+    out_R = jnp.where(sel, new_R, prob.cam_R)
+    out_t = jnp.where(sel, new_t, prob.cam_t)
+    out_pt = jnp.where(sel, new_pt, prob.pt_pos)
+
+    new_prob = prob._replace(
+        cam_R=out_R, cam_t=out_t, pt_pos=out_pt,
+        meas_bad=prob.meas_bad | new_bad)
+    return LMState(problem=new_prob, lam=lam, lam_factor=lam_factor,
+                   converged=state.converged | conv,
+                   accepted=state.accepted + accept.astype(jnp.int32),
+                   iters=state.iters + n_inner,
+                   last_error=new_error)
+
+
+def compute(problem: BundleProblem, cam: atan.Camera,
+            cfg: BundleConfig = BundleConfig(),
+            mest_kind: int = mest.TUKEY,
+            abort_check=None) -> Tuple[LMState, int]:
+    """Run LM to convergence (ref: Bundle::Compute, src/Bundle.cc:116-158).
+
+    ``abort_check``: optional host callable polled between steps — the
+    jitted-chunk equivalent of the reference's abort-flag polling.
+    Returns (final LMState, n_steps_run).
+    """
+    step = jax.jit(lambda s: lm_step(s, cam, cfg, mest_kind))
+    state = init_lm(problem, cfg)
+    n = 0
+    while (not bool(state.converged)
+           and int(state.iters) < cfg.max_iterations):
+        state = step(state)
+        n += 1
+        if abort_check is not None and abort_check():
+            break
+    return state, n
+
+
+def residual_rms(problem: BundleProblem, cam: atan.Camera) -> Array:
+    """RMS reprojection error (pixels, noise-scaled) of active meas."""
+    _, _, eps, err_sq, bad = _project_meas(
+        problem.cam_R, problem.cam_t, problem.pt_pos, problem, cam)
+    ok = problem.meas_valid & ~problem.meas_bad & ~bad
+    n = jnp.maximum(jnp.sum(ok.astype(jnp.float32)), 1.0)
+    return jnp.sqrt(jnp.sum(jnp.where(ok, err_sq, 0.0)) / n)
