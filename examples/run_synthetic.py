@@ -1,0 +1,80 @@
+"""End-to-end demo: run the full SLAM engine on a synthetic ground-truth
+sequence and report ATE (the BASELINE config 1-4 harness in miniature).
+
+Usage: python examples/run_synthetic.py [--frames N] [--size WxH] [--tpu]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--size", default="320x240")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the TPU backend (default: CPU)")
+    ap.add_argument("--seed", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptam_cg_tpu.config import (CameraConfig, EngineConfig,
+                                    MapMakerConfig)
+    from ptam_cg_tpu.io import synth
+    from ptam_cg_tpu.models import engine as engine_lib
+    from ptam_cg_tpu.utils import evaluate
+    from ptam_cg_tpu.utils.se3 import SE3
+
+    w, h = (int(x) for x in args.size.split("x"))
+    size = (w, h)
+    params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
+    seq = synth.SyntheticSequence(params, image_size=size,
+                                  n_frames=args.frames, seed=args.seed,
+                                  height=1.5, radius=0.35, sweep=1.3)
+    cfg = EngineConfig(
+        camera=CameraConfig(params=params, image_size=size),
+        mapmaker=MapMakerConfig(candidate_min_shi_tomasi_score=70.0))
+    eng = engine_lib.SLAMEngine(cfg, image_size=size, max_points=2048,
+                                max_kfs=12, auto_init_frames=6,
+                                seed=args.seed)
+    est, gt, times = [], [], []
+    for i in range(args.frames):
+        frame = seq.frame(i)
+        t0 = time.perf_counter()
+        info = eng.process_frame(frame)
+        times.append(time.perf_counter() - t0)
+        print(f"frame {i:3d} [{info.stage:14s}] q={info.quality} "
+              f"found={info.n_found:4d} pts={info.n_points:4d} "
+              f"kfs={info.n_kfs} {'KF+' if info.added_kf else ''} "
+              f"{'RELOC' if info.relocalized else ''} "
+              f"({times[-1]*1000:.0f} ms)")
+        if info.stage == "TRACKING":
+            est.append(np.asarray(evaluate.camera_centers(
+                SE3(info.pose.R[None], info.pose.t[None])))[0])
+            c = seq.pose(i)
+            gt.append(np.asarray(-jnp.asarray(c.R).T @ jnp.asarray(c.t)))
+
+    if len(est) > 5:
+        ate = evaluate.ate_rmse(jnp.asarray(np.stack(est)),
+                                jnp.asarray(np.stack(gt)))
+        span = float(np.linalg.norm(np.stack(gt).max(0)
+                                    - np.stack(gt).min(0)))
+        print(f"\nATE RMSE: {ate*1000:.1f} mm over a {span:.2f} m "
+              f"trajectory ({len(est)} tracked frames)")
+        print(f"median frame time: {np.median(times)*1000:.0f} ms")
+    else:
+        print("\nFAILED: tracking never started")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -29,14 +29,19 @@ Array = jax.Array
 def make_texture(key: Array, size: int = 512) -> Array:
     """Multi-scale smooth noise texture in [0, 255] with plenty of
     corner-like structure for FAST."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     base = jax.random.uniform(k1, (size, size))
     # Coarse blobs: upsampled low-res noise.
     coarse = jax.image.resize(jax.random.uniform(k2, (size // 8, size // 8)),
                               (size, size), method="cubic")
     mid = jax.image.resize(jax.random.uniform(k3, (size // 32, size // 32)),
                            (size, size), method="nearest")
-    tex = 0.25 * base + 0.35 * coarse + 0.4 * mid
+    # High-contrast block pattern: strong Shi-Tomasi corners everywhere
+    # (checkerboard-ish structure at the 4-pixel scale).
+    blocks = (jax.random.uniform(k4, (size // 4, size // 4)) > 0.5)
+    blocks = jax.image.resize(blocks.astype(jnp.float32), (size, size),
+                              method="nearest")
+    tex = 0.15 * base + 0.25 * coarse + 0.25 * mid + 0.35 * blocks
     tex = tex - tex.min()
     tex = tex / jnp.maximum(tex.max(), 1e-6)
     return (tex * 235.0 + 10.0).astype(jnp.float32)

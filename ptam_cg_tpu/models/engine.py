@@ -1,0 +1,228 @@
+"""SLAMEngine: the top-level orchestrator (System + Tracker state machine).
+
+Capability parity with the reference's System frame loop + the Tracker's
+initialization/relocalization state machine (ref: src/System.cc:54-110,
+src/Tracker.cc:86-307). The reference runs tracking on the main thread
+and mapping on a second CPU thread; here both are jitted device programs
+and a host loop interleaves them: one tracking step per frame plus one
+mapping priority-step (``MapMaker.step``) — the pending-KF queue aborts
+long BA runs between LM steps exactly like the reference's abort flag.
+
+The reference's spacebar-driven init is exposed both as an API
+(``request_init``) and an automatic policy for dataset runs
+(``auto_init_frames``).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptam_cg_tpu.camera import atan
+from ptam_cg_tpu.config import EngineConfig
+from ptam_cg_tpu.models import initializer as initlib
+from ptam_cg_tpu.models import keyframe as kflib
+from ptam_cg_tpu.models import map_state as ms
+from ptam_cg_tpu.models import mapmaker as mmlib
+from ptam_cg_tpu.models import relocalizer as reloclib
+from ptam_cg_tpu.models import tracker as trklib
+from ptam_cg_tpu.utils import se3 as se3lib
+from ptam_cg_tpu.utils.se3 import SE3
+
+
+class Stage(enum.Enum):
+    NOT_STARTED = 0          # waiting for first "spacebar"
+    TRAIL_TRACKING = 1       # between the two init keyframes
+    TRACKING = 2             # map good, normal operation
+
+
+class FrameInfo(NamedTuple):
+    pose: SE3
+    stage: str
+    quality: int
+    n_found: int
+    n_points: int
+    n_kfs: int
+    added_kf: bool
+    relocalized: bool
+
+
+class SLAMEngine:
+    def __init__(self, cfg: EngineConfig = EngineConfig(),
+                 image_size=None, max_points: int = 2048,
+                 max_kfs: int = 16, seed: int = 0,
+                 auto_init_frames: Optional[int] = 6):
+        self.cfg = cfg
+        self.image_size = image_size or cfg.camera.image_size
+        self.cam = atan.make_camera(cfg.camera.params, self.image_size)
+        self.cam_params = jnp.asarray(cfg.camera.params, jnp.float32)
+        self.map = ms.empty_map(self.image_size, max_points, max_kfs)
+        self.mapmaker = mmlib.MapMaker(self.map, self.cam, self.image_size,
+                                       cfg.mapmaker, cfg.bundle, seed=seed)
+        self.stage = Stage.NOT_STARTED
+        self.tracker_state = trklib.init_tracker_state()
+        self.trails: Optional[initlib.TrailState] = None
+        self.first_features = None
+        self.prev_features = None
+        self.frame_idx = 0
+        self.frames_since_kf = 0
+        self.newest_kf = None
+        self.auto_init_frames = auto_init_frames
+        self._init_requested = auto_init_frames is not None
+        self._trail_start_idx = None
+        self.key = jax.random.PRNGKey(seed)
+
+        cand_thresh = float(cfg.mapmaker.candidate_min_shi_tomasi_score)
+        self._build = jax.jit(lambda im: kflib.build_frame(
+            im, cfg.frontend, cand_thresh))
+        self._track = jax.jit(
+            lambda s, m, f, ps, k: trklib.track_frame(
+                s, m, f, ps, self.cam, self.image_size, self.cam_params,
+                k, cfg.tracker))
+        W, H = self.image_size
+        self._sbi_size = ((H >> 3) // 2, (W >> 3) // 2)
+        self._reloc = jax.jit(lambda m, sbi: reloclib.attempt_recovery(
+            m, sbi, self.cam_params, self._sbi_size,
+            cfg.reloc.max_score, cfg.reloc.esm_iterations))
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def request_init(self):
+        """Equivalent of the reference's spacebar press
+        (ref: src/Tracker.cc:311-347)."""
+        self._init_requested = True
+
+    def reset(self):
+        """Full reset (ref: Tracker::Reset + MapMaker reset handshake,
+        src/Tracker.cc:55-77)."""
+        P, K = self.map.point_pos.shape[0], self.map.kf_R.shape[0]
+        self.map = ms.empty_map(self.image_size, P, K)
+        self.mapmaker = mmlib.MapMaker(
+            self.map, self.cam, self.image_size, self.cfg.mapmaker,
+            self.cfg.bundle)
+        self.stage = Stage.NOT_STARTED
+        self.tracker_state = trklib.init_tracker_state()
+        self.trails = None
+        self.first_features = None
+        self.frames_since_kf = 0
+        self.newest_kf = None
+        self._init_requested = self.auto_init_frames is not None
+
+    # ------------------------------------------------------------------
+    def process_frame(self, im) -> FrameInfo:
+        """Per-frame entry point (ref: System::UpdateFrame ->
+        Tracker::TrackFrame, src/System.cc:72-110, src/Tracker.cc:86-188).
+        """
+        im = jnp.asarray(im, jnp.float32)
+        features = self._build(im)
+        added_kf = False
+        relocalized = False
+        n_found = 0
+
+        if self.stage == Stage.NOT_STARTED:
+            if self._init_requested:
+                self.trails = initlib.trail_start(
+                    features, self.image_size,
+                    self.cfg.tracker.max_initial_trails)
+                self.first_features = features
+                self._trail_start_idx = self.frame_idx
+                self.stage = Stage.TRAIL_TRACKING
+                self._init_requested = False   # auto mode fires by count
+
+        elif self.stage == Stage.TRAIL_TRACKING:
+            self.trails, n_good = initlib.trail_advance(
+                self.trails, self.prev_features, features, self.image_size)
+            n_found = int(n_good)
+            if n_found < self.cfg.tracker.min_trails:
+                self.reset()
+            else:
+                auto_fire = (self.auto_init_frames is not None
+                             and self.frame_idx - self._trail_start_idx
+                             >= self.auto_init_frames)
+                if self._init_requested or auto_fire:
+                    self.mapmaker.map = self.map
+                    pose2 = initlib.init_from_stereo(
+                        self.mapmaker, self.first_features, features,
+                        self.trails, self._next_key(), self.cfg.init)
+                    self.map = self.mapmaker.map
+                    self._init_requested = False
+                    if pose2 is None:
+                        self.reset()
+                    else:
+                        self.stage = Stage.TRACKING
+                        self.tracker_state = trklib.init_tracker_state(
+                            pose2)
+                        self.newest_kf = 1
+                        self.frames_since_kf = 0
+
+        elif self.stage == Stage.TRACKING:
+            st = self.tracker_state
+            # Relocalize if lost (ref: src/Tracker.cc:168-176, 196-207).
+            if int(st.lost_frames) > self.cfg.tracker.max_lost_frames:
+                rr = self._reloc(self.map, features.sbi)
+                if bool(rr.success):
+                    st = st._replace(
+                        pose=SE3(rr.pose.R, rr.pose.t),
+                        velocity=jnp.zeros(6, jnp.float32),
+                        just_recovered=jnp.asarray(True),
+                        lost_frames=jnp.int32(0))
+                    relocalized = True
+
+            out = self._track(st, self.map, features,
+                              self.prev_features.sbi, self._next_key())
+            self.tracker_state = out.state
+            res = out.result
+            n_found = int(jnp.sum(res.meas_valid))
+
+            # Tracker -> map point inlier/outlier accounting.
+            self.map = self.map._replace(
+                point_inlier=self.map.point_inlier + res.inlier_delta,
+                point_outlier=self.map.point_outlier + res.outlier_delta)
+
+            # Keyframe-add heuristics (ref: src/Tracker.cc:146-166).
+            self.frames_since_kf += 1
+            if (int(out.state.quality) == trklib.QUALITY_GOOD
+                    and self.frames_since_kf
+                    > self.cfg.tracker.min_frames_between_kfs
+                    and self.mapmaker.queue_size()
+                    < self.cfg.mapmaker.max_queue_size
+                    and self.mapmaker.n_kfs() < self.map.kf_R.shape[0]
+                    and bool(mmlib.need_new_kf(
+                        self.map, out.state.pose, out.state.depth_mean,
+                        self.mapmaker.wiggle_depth_norm,
+                        self.cfg.mapmaker.max_kf_dist_wiggle_mult))):
+                meas = dict(point=res.meas_point, pos=res.meas_pos,
+                            level=res.meas_level, subpix=res.meas_subpix,
+                            valid=res.meas_valid)
+                self.mapmaker.map = self.map
+                self.mapmaker.add_keyframe(
+                    features, out.state.pose, meas,
+                    float(out.state.depth_mean),
+                    float(out.state.depth_sigma))
+                self.frames_since_kf = 0
+                added_kf = True
+
+            # One mapping priority step per frame.
+            self.mapmaker.map = self.map
+            slot = self.mapmaker.step(self.newest_kf)
+            self.map = self.mapmaker.map
+            if slot is not None:
+                self.newest_kf = slot
+
+        self.prev_features = features
+        self.frame_idx += 1
+        return FrameInfo(
+            pose=SE3(self.tracker_state.pose.R, self.tracker_state.pose.t),
+            stage=self.stage.name,
+            quality=int(self.tracker_state.quality),
+            n_found=n_found,
+            n_points=int(self.map.n_points()),
+            n_kfs=int(self.map.n_kfs()),
+            added_kf=added_kf, relocalized=relocalized)

@@ -56,6 +56,7 @@ class MapState(NamedTuple):
     kf_R: Array               # (K, 3, 3) world->cam rotation
     kf_t: Array               # (K, 3)
     kf_valid: Array           # (K,) bool
+    kf_fixed: Array           # (K,) bool — pose fixed in BA (first KF)
     kf_atlas: Array           # (K, Ha, W) float32 pyramid atlas
     kf_corner_mask: Array     # (K, Ha, W) bool
     kf_max_xy: Array          # (K, LEVELS, NONMAX_CAP, 2) int32
@@ -68,13 +69,17 @@ class MapState(NamedTuple):
     kf_depth_mean: Array      # (K,) scene depth stats
     kf_depth_sigma: Array     # (K,)
 
-    # ---- measurements, per keyframe (capacity M each) ----
-    meas_point: Array         # (K, M) int32 point index
-    meas_pos: Array           # (K, M, 2) float32 level-0 position
-    meas_level: Array         # (K, M) int32
-    meas_subpix: Array        # (K, M) bool
-    meas_source: Array        # (K, M) int32 SRC_*
-    meas_valid: Array         # (K, M) bool
+    # ---- measurements: DENSE (keyframe, point) matrices ----
+    # The reference keeps a std::map<MapPoint*, Measurement> per KF plus
+    # per-point sets of measuring/never-retry KFs (ref: include/KeyFrame.h,
+    # MapMakerData). With fixed capacities a dense (K, P) layout is the
+    # TPU-native equivalent: O(1) indexed, no dedup, trivially batched.
+    meas_valid: Array         # (K, P) bool — measurement exists
+    meas_pos: Array           # (K, P, 2) float32 level-0 position
+    meas_level: Array         # (K, P) int32
+    meas_subpix: Array        # (K, P) bool
+    meas_source: Array        # (K, P) int32 SRC_*
+    never_retry: Array        # (K, P) bool (MapMakerData::sNeverRetryKFs)
 
     good: Array               # () bool — map initialized
 
@@ -98,12 +103,12 @@ class MapState(NamedTuple):
 
 
 def empty_map(image_size: Tuple[int, int], max_points: int = 2048,
-              max_kfs: int = 32, max_meas: int = 512) -> MapState:
+              max_kfs: int = 32) -> MapState:
     """Allocate an all-invalid map (Map::Reset equivalent)."""
     W, H = image_size
     Ha = H + H // 2
     h_sbi, w_sbi = (H >> 3) // 2, (W >> 3) // 2
-    P, K, M = max_points, max_kfs, max_meas
+    P, K = max_points, max_kfs
     f32, i32 = jnp.float32, jnp.int32
     z = jnp.zeros
     return MapState(
@@ -115,7 +120,7 @@ def empty_map(image_size: Tuple[int, int], max_points: int = 2048,
         point_down_w=z((P, 3), f32), point_inlier=z(P, i32),
         point_outlier=z(P, i32), point_source=z(P, i32),
         kf_R=jnp.broadcast_to(jnp.eye(3, dtype=f32), (K, 3, 3)),
-        kf_t=z((K, 3), f32), kf_valid=z(K, bool),
+        kf_t=z((K, 3), f32), kf_valid=z(K, bool), kf_fixed=z(K, bool),
         kf_atlas=z((K, Ha, W), f32), kf_corner_mask=z((K, Ha, W), bool),
         kf_max_xy=z((K, LEVELS, NONMAX_CAP, 2), i32),
         kf_max_valid=z((K, LEVELS, NONMAX_CAP), bool),
@@ -125,20 +130,55 @@ def empty_map(image_size: Tuple[int, int], max_points: int = 2048,
         kf_sbi=z((K, h_sbi, w_sbi), f32),
         kf_sbi_jac=z((K, h_sbi, w_sbi, 2), f32),
         kf_depth_mean=jnp.ones(K, f32), kf_depth_sigma=jnp.ones(K, f32),
-        meas_point=z((K, M), i32), meas_pos=z((K, M, 2), f32),
-        meas_level=z((K, M), i32), meas_subpix=z((K, M), bool),
-        meas_source=z((K, M), i32), meas_valid=z((K, M), bool),
+        meas_valid=z((K, P), bool), meas_pos=z((K, P, 2), f32),
+        meas_level=z((K, P), i32), meas_subpix=z((K, P), bool),
+        meas_source=z((K, P), i32), never_retry=z((K, P), bool),
         good=jnp.asarray(False),
     )
 
 
+def set_measurements(m: MapState, kf, point_idx: Array, pos: Array,
+                     level: Array, subpix: Array, source: Array,
+                     valid: Array) -> MapState:
+    """Scatter a batch of measurements into keyframe ``kf``'s dense row.
+    ``valid`` gates which entries are written (duplicate indices in the
+    padded tail are harmless because their valid flag is False)."""
+    P = m.point_pos.shape[0]
+    ok = valid & (point_idx >= 0) & (point_idx < P)
+    # Invalid entries scatter to index P -> dropped; valid indices are
+    # unique, so no duplicate-scatter nondeterminism.
+    idx = jnp.where(ok, point_idx, P)
+    wr = lambda tbl, val: tbl[kf].at[idx].set(val, mode="drop")
+    return m._replace(
+        meas_valid=m.meas_valid.at[kf, idx].set(True, mode="drop"),
+        meas_pos=m.meas_pos.at[kf].set(wr(m.meas_pos, pos)),
+        meas_level=m.meas_level.at[kf].set(wr(m.meas_level, level)),
+        meas_subpix=m.meas_subpix.at[kf].set(wr(m.meas_subpix, subpix)),
+        meas_source=m.meas_source.at[kf].set(wr(m.meas_source, source)),
+    )
+
+
+def scene_depth_for_kf(m: MapState, k) -> tuple:
+    """RefreshSceneDepth over the dense measurement row
+    (ref: src/MapMaker.cc:1202-1219)."""
+    sel = m.meas_valid[k] & m.point_valid
+    p_cam = (m.point_pos @ m.kf_R[k].T) + m.kf_t[k]
+    z = p_cam[:, 2]
+    n = jnp.maximum(jnp.sum(sel.astype(jnp.float32)), 1.0)
+    mean = jnp.sum(jnp.where(sel, z, 0.0)) / n
+    var = jnp.sum(jnp.where(sel, z * z, 0.0)) / n - mean * mean
+    return mean, jnp.sqrt(jnp.maximum(var, 1e-12))
+
+
 def insert_keyframe(m: MapState, slot, features: FrameFeatures, pose: SE3,
-                    depth_mean=1.0, depth_sigma=1.0) -> MapState:
+                    depth_mean=1.0, depth_sigma=1.0,
+                    fixed=False) -> MapState:
     """Write a FrameFeatures + pose into keyframe ``slot`` (traced int)."""
     upd = lambda arr, val: arr.at[slot].set(val)
     return m._replace(
         kf_R=upd(m.kf_R, pose.R), kf_t=upd(m.kf_t, pose.t),
         kf_valid=upd(m.kf_valid, True),
+        kf_fixed=upd(m.kf_fixed, fixed),
         kf_atlas=upd(m.kf_atlas, features.atlas),
         kf_corner_mask=upd(m.kf_corner_mask, features.corner_mask),
         kf_max_xy=upd(m.kf_max_xy, features.max_xy),

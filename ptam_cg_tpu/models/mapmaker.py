@@ -1,0 +1,662 @@
+"""The mapping engine: keyframe integration, epipolar map expansion,
+re-find data association, robust BA glue, and map maintenance.
+
+TPU-native re-architecture of the reference MapMaker (ref: src/MapMaker.cc).
+The reference runs these jobs serially point-by-point on its own CPU
+thread; here each job is a batched jitted program over the dense MapState,
+and a thin host scheduler (``MapMaker.step``) reproduces the priority loop
+(ref: src/MapMaker.cc:57-114): local BA -> refind-new -> global BA ->
+failure-queue refind -> bad-point GC -> keyframe integration.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptam_cg_tpu.camera import atan
+from ptam_cg_tpu.config import (LEVELS, BundleConfig, MapMakerConfig)
+from ptam_cg_tpu.models import bundle as bundlelib
+from ptam_cg_tpu.models import map_state as ms
+from ptam_cg_tpu.models.keyframe import FrameFeatures
+from ptam_cg_tpu.models.map_state import MapState
+from ptam_cg_tpu.ops import levels as levelops
+from ptam_cg_tpu.ops import patch as patchops
+from ptam_cg_tpu.utils import geometry
+from ptam_cg_tpu.utils import se3 as se3lib
+from ptam_cg_tpu.utils.se3 import SE3
+
+Array = jax.Array
+
+MAX_SSD = 8 * 8 * 500.0
+
+
+# ---------------------------------------------------------------------------
+# Epipolar map-point creation (one pyramid level at a time)
+# ---------------------------------------------------------------------------
+
+def add_points_epipolar(m: MapState, src_kf, tgt_kf, level: int,
+                        cam: atan.Camera, image_size,
+                        wiggle_scale: float,
+                        thin_radius: float = 10.0) -> Tuple[MapState, Array, Array]:
+    """Batched ThinCandidates + AddPointEpipolar for every candidate of
+    ``src_kf`` at ``level`` (ref: src/MapMaker.cc:415-457, 529-688).
+
+    Returns (new map, n_added, new_point_mask (P,)).
+    """
+    W, H = image_size
+    P = m.point_pos.shape[0]
+    scale = float(1 << level)
+    cand_xy = m.kf_cand_xy[src_kf, level].astype(jnp.float32)   # (C, 2)
+    cand_ok = m.kf_cand_valid[src_kf, level]
+    C = cand_xy.shape[0]
+
+    src_pose = SE3(m.kf_R[src_kf], m.kf_t[src_kf])
+    tgt_pose = SE3(m.kf_R[tgt_kf], m.kf_t[tgt_kf])
+
+    # --- ThinCandidates: drop candidates near existing measurements at
+    # this level or one higher (ref: src/MapMaker.cc:415-441).
+    busy = (m.meas_valid[src_kf]
+            & ((m.meas_level[src_kf] == level)
+               | (m.meas_level[src_kf] == level + 1)))          # (P,)
+    busy_pos = m.meas_pos[src_kf] / scale                        # (P, 2)
+    d2 = jnp.sum((cand_xy[:, None, :] - busy_pos[None]) ** 2, axis=-1)
+    d2 = jnp.where(busy[None, :], d2, jnp.inf)
+    cand_ok = cand_ok & (jnp.min(d2, axis=-1) >= thin_radius ** 2)
+
+    # --- Source ray and epipolar segment in the target view
+    # (ref: src/MapMaker.cc:544-600).
+    root_pos = levelops.level_zero_pos(cand_xy, level)           # (C, 2) L0
+    z1_src = atan.unproject(root_pos, cam)
+    ray_sc = jnp.concatenate([z1_src, jnp.ones((C, 1))], axis=-1)
+    ray_sc = ray_sc / jnp.linalg.norm(ray_sc, axis=-1, keepdims=True)
+    ray_wc = ray_sc @ src_pose.R                                  # R^T rows
+    ray_tc = ray_wc @ tgt_pose.R.T
+
+    depth_mean = m.kf_depth_mean[src_kf]
+    depth_sigma = m.kf_depth_sigma[src_kf]
+    start_depth = jnp.maximum(wiggle_scale, depth_mean - depth_sigma)
+    end_depth = jnp.minimum(40.0 * wiggle_scale, depth_mean + depth_sigma)
+
+    cam_center_w = -src_pose.R.T @ src_pose.t
+    cam_center_t = tgt_pose.R @ cam_center_w + tgt_pose.t
+    ray_start = cam_center_t[None] + start_depth * ray_tc         # (C, 3)
+    ray_end = cam_center_t[None] + end_depth * ray_tc
+    geom_ok = (ray_end[:, 2] > ray_start[:, 2]) & (ray_end[:, 2] > 0.0)
+    # Nudge the start in front of the camera if needed.
+    need = ray_start[:, 2] <= 0.0
+    tshift = (0.001 - ray_start[:, 2]) / jnp.where(
+        jnp.abs(ray_tc[:, 2]) < 1e-12, 1e-12, ray_tc[:, 2])
+    ray_start = jnp.where(need[:, None], ray_start + tshift[:, None]
+                          * ray_tc, ray_start)
+
+    v2a = ray_start[:, :2] / ray_start[:, 2:3]
+    v2b = ray_end[:, :2] / ray_end[:, 2:3]
+    along = v2a - v2b
+    seg_len2 = jnp.sum(along * along, axis=-1)
+    geom_ok = geom_ok & (seg_len2 >= 1e-8)
+    along = along / jnp.sqrt(jnp.maximum(seg_len2, 1e-12))[:, None]
+    normal = jnp.stack([along[:, 1], -along[:, 0]], axis=-1)
+    norm_dist = jnp.sum(v2a * normal, axis=-1)
+    geom_ok = geom_ok & (jnp.abs(norm_dist) <= cam.largest_radius)
+    min_len = jnp.clip(jnp.minimum(jnp.sum(along * v2a, -1),
+                                   jnp.sum(along * v2b, -1)) - 0.05,
+                       -2.0, 2.0)
+    max_len = jnp.clip(jnp.maximum(jnp.sum(along * v2a, -1),
+                                   jnp.sum(along * v2b, -1)) + 0.05,
+                       -2.0, 2.0)
+
+    # --- Source templates: unwarped 8x8 at the candidate, from src atlas
+    # (ref: MakeTemplateCoarseNoWarp, src/PatchFinder.cc:137-148).
+    cand_atlas = levelops.atlas_pos(cand_xy, jnp.full(C, level, jnp.int32),
+                                    H, W)
+    src_b = jnp.stack(levelops.level_bounds(
+        jnp.full(C, level, jnp.int32), H, W), axis=-1)
+    templates, tmpl_ok = patchops.make_warped_templates(
+        m.kf_atlas, jnp.full(C, src_kf, jnp.int32), cand_atlas,
+        jnp.broadcast_to(jnp.eye(2), (C, 2, 2)), src_b)
+
+    # --- Target corners at this level + their z=1-plane cache
+    # (ref: src/MapMaker.cc:608-617).
+    corners = m.kf_max_xy[tgt_kf, level].astype(jnp.float32)     # (N, 2)
+    corners_valid = m.kf_max_valid[tgt_kf, level]
+    corners_l0 = levelops.level_zero_pos(corners, level)
+    corner_z1 = atan.unproject(corners_l0, cam)                   # (N, 2)
+
+    max_dist = cam.one_pixel_dist * (4.0 + 1.0 * scale)
+    dd = norm_dist[:, None] - jnp.einsum("nj,cj->cn", corner_z1, normal)
+    along_pos = jnp.einsum("nj,cj->cn", corner_z1, along)        # (C, N)
+    pair_ok = ((dd * dd <= max_dist * max_dist)
+               & (along_pos >= min_len[:, None])
+               & (along_pos <= max_len[:, None])
+               & corners_valid[None, :])
+
+    # --- ZMSSD of every (candidate, corner) pair as one matmul
+    # (ref: ZMSSDAtPoint over the corner loop, src/MapMaker.cc:622-636).
+    def gather_patches(att):
+        def one(xy):
+            x0 = xy[0].astype(jnp.int32) - 4
+            y0 = xy[1].astype(jnp.int32) - 4
+            Ha, Wa = att.shape
+            x0c = jnp.clip(x0, 0, Wa - 8)
+            y0c = jnp.clip(y0, 0, Ha - 8)
+            return jax.lax.dynamic_slice(att, (y0c, x0c), (8, 8))
+        return jax.vmap(one)
+
+    tgt_atlas = m.kf_atlas[tgt_kf]
+    corner_atlas = levelops.atlas_pos(corners, jnp.full(
+        corners.shape[0], level, jnp.int32), H, W)
+    patches = gather_patches(tgt_atlas)(corner_atlas)             # (N, 8, 8)
+    I = patches.reshape(-1, 64)
+    T = templates.reshape(-1, 64)
+    SA = jnp.sum(T, axis=-1)                                      # (C,)
+    SB = jnp.sum(I, axis=-1)                                      # (N,)
+    ST2 = jnp.sum(T * T, axis=-1)
+    SI2 = jnp.sum(I * I, axis=-1)
+    cross = T @ I.T                                               # (C, N) MXU
+    zmssd = ((2.0 * SA[:, None] * SB[None] - SA[:, None] ** 2
+              - SB[None] ** 2) / 64.0
+             + SI2[None] + ST2[:, None] - 2.0 * cross)
+    zmssd = jnp.where(pair_ok, zmssd, jnp.float32(3.4e38))
+    best_n = jnp.argmin(zmssd, axis=-1)                           # (C,)
+    best_ssd = jnp.take_along_axis(zmssd, best_n[:, None], axis=-1)[:, 0]
+    found = best_ssd < MAX_SSD
+
+    # --- Sub-pixel refinement on the target (ref: :642-649).
+    start_pos = corner_atlas[best_n]
+    tgt_b = jnp.stack(levelops.level_bounds(
+        jnp.full(C, level, jnp.int32), H, W), axis=-1)
+    sp = patchops.subpix_refine(tgt_atlas, templates, start_pos, tgt_b,
+                                max_its=10)
+    accepted = (cand_ok & geom_ok & tmpl_ok & found & sp.converged)
+
+    # --- Triangulate (ref: :651-653).
+    offs = jnp.asarray([[c, r] for (r, c) in levelops.level_offsets(H, W)],
+                       jnp.float32)
+    tgt_level_pos = sp.pos - offs[level]
+    tgt_l0 = levelops.level_zero_pos(tgt_level_pos, level)
+    z1_tgt = atan.unproject(tgt_l0, cam)
+    src_from_tgt = se3lib.mul(src_pose, se3lib.inv(tgt_pose))
+    p_tgt = geometry.triangulate(src_from_tgt, z1_src, z1_tgt)
+    p_world = se3lib.apply(se3lib.inv(tgt_pose), p_tgt)
+
+    # --- Allocate map slots for accepted candidates -----------------------
+    free_idx = jnp.nonzero(~m.point_valid, size=C, fill_value=P)[0]
+    rank = jnp.cumsum(accepted.astype(jnp.int32)) - 1
+    slot = jnp.where(accepted, free_idx[jnp.clip(rank, 0, C - 1)], P)
+    n_added = jnp.sum((accepted & (slot < P)).astype(jnp.int32))
+
+    c_nc, r_nc, d_nc, nrm = ms.make_point_rays(
+        cand_xy, jnp.full(C, level, jnp.int32), src_pose, cam, image_size)
+
+    def scat(arr, val):
+        return arr.at[slot].set(val, mode="drop")
+
+    new_m = m._replace(
+        point_pos=scat(m.point_pos, p_world),
+        point_valid=m.point_valid.at[slot].set(True, mode="drop"),
+        point_src_kf=scat(m.point_src_kf, jnp.full(C, src_kf, jnp.int32)),
+        point_src_level=scat(m.point_src_level,
+                             jnp.full(C, level, jnp.int32)),
+        point_center=scat(m.point_center, cand_xy),
+        point_center_nc=scat(m.point_center_nc, c_nc),
+        point_right_nc=scat(m.point_right_nc, r_nc),
+        point_down_nc=scat(m.point_down_nc, d_nc),
+        point_normal_nc=scat(m.point_normal_nc, nrm),
+        point_inlier=scat(m.point_inlier, jnp.zeros(C, jnp.int32)),
+        point_outlier=scat(m.point_outlier, jnp.zeros(C, jnp.int32)),
+        point_source=scat(m.point_source,
+                          jnp.full(C, ms.SRC_EPIPOLAR, jnp.int32)),
+    )
+    new_m = ms.refresh_pixel_vectors(new_m)
+
+    # --- Measurements in both keyframes (ref: :668-684) ------------------
+    ok_slot = accepted & (slot < P)
+    new_m = ms.set_measurements(
+        new_m, src_kf, slot, root_pos,
+        jnp.full(C, level, jnp.int32), jnp.ones(C, bool),
+        jnp.full(C, ms.SRC_ROOT, jnp.int32), ok_slot)
+    new_m = ms.set_measurements(
+        new_m, tgt_kf, slot, tgt_l0,
+        jnp.full(C, level, jnp.int32), jnp.ones(C, bool),
+        jnp.full(C, ms.SRC_EPIPOLAR, jnp.int32), ok_slot)
+
+    new_mask = jnp.zeros(P, bool).at[slot].set(True, mode="drop")
+    return new_m, n_added, new_mask
+
+
+# ---------------------------------------------------------------------------
+# Re-find data association
+# ---------------------------------------------------------------------------
+
+def refind_in_kf(m: MapState, k, point_mask: Array, cam: atan.Camera,
+                 image_size, range_l0: float = 4.0) -> Tuple[MapState, Array]:
+    """Batched ReFind_Common over all selected points in keyframe ``k``
+    (ref: src/MapMaker.cc:943-1020). Returns (map, n_found)."""
+    W, H = image_size
+    P = m.point_pos.shape[0]
+    pose = SE3(m.kf_R[k], m.kf_t[k])
+
+    active = (point_mask & m.point_valid
+              & ~m.meas_valid[k] & ~m.never_retry[k])
+
+    p_cam = m.point_pos @ pose.R.T + pose.t
+    z = p_cam[:, 2]
+    z_ok = z > 0.001
+    safe_z = jnp.where(z_ok, z, 1.0)
+    z1 = p_cam[:, :2] / safe_z[:, None]
+    r_ok = jnp.sum(z1 * z1, -1) <= cam.largest_radius ** 2
+    pix = atan.project(z1, cam)
+    in_im = ((pix[:, 0] >= 0) & (pix[:, 1] >= 0)
+             & (pix[:, 0] <= W) & (pix[:, 1] <= H))
+    proj_ok = z_ok & r_ok & in_im
+
+    cam_derivs = atan.project_derivs(z1, cam)
+    warp = patchops.search_level_and_warp(
+        p_cam, pose.R, m.point_right_w, m.point_down_w, cam_derivs)
+    level = warp.level
+    scale = levelops.level_scale(level)
+
+    src_center = levelops.atlas_pos(m.point_center, m.point_src_level,
+                                    H, W)
+    m2 = patchops.inv2x2(warp.warp_inv) * scale[..., None, None]
+    src_b = jnp.stack(levelops.level_bounds(m.point_src_level, H, W),
+                      axis=-1)
+    templates, tmpl_ok = patchops.make_warped_templates(
+        m.kf_atlas, m.point_src_kf, src_center, m2, src_b)
+
+    searchable = active & proj_ok & warp.good & tmpl_ok
+    centers = levelops.atlas_pos(levelops.level_n_pos(pix, level), level,
+                                 H, W)
+    radius = jnp.ceil(range_l0 / scale)
+    bounds = jnp.stack(levelops.level_bounds(level, H, W), axis=-1)
+    res = patchops.ssd_search(
+        m.kf_atlas[k], m.kf_corner_mask[k], templates, centers, radius,
+        bounds, r_win=4, max_ssd=MAX_SSD)
+    found = searchable & res.found
+
+    # Subpix for level > 0 (ref: :997-1008).
+    sp = patchops.subpix_refine(m.kf_atlas[k], templates, res.pos, bounds,
+                                max_its=8)
+    use_sp = found & (level > 0)
+    pos_atlas = jnp.where(use_sp[:, None], sp.pos, res.pos)
+    offs = jnp.asarray([[c, r] for (r, c) in levelops.level_offsets(H, W)],
+                       jnp.float32)
+    pos_l0 = levelops.level_zero_pos(pos_atlas - offs[level], level)
+
+    # Failures -> never retry (every failure branch in the reference
+    # inserts into sNeverRetryKFs).
+    fail = active & ~found
+    new_never = m.never_retry.at[k].set(m.never_retry[k] | fail)
+
+    idx = jnp.arange(P)
+    new_m = m._replace(never_retry=new_never)
+    new_m = ms.set_measurements(
+        new_m, k, idx, pos_l0, level, use_sp,
+        jnp.full(P, ms.SRC_REFIND, jnp.int32), found)
+    return new_m, jnp.sum(found.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Bad-point GC / plane alignment / transforms
+# ---------------------------------------------------------------------------
+
+def handle_bad_points(m: MapState,
+                      cfg: MapMakerConfig = MapMakerConfig()) -> MapState:
+    """Outlier-count GC (ref: MapMaker::HandleBadPoints,
+    src/MapMaker.cc:131-153): more outliers than inliers and > threshold
+    -> point trashed (valid=False) and measurements erased."""
+    bad = (m.point_valid
+           & (m.point_outlier > cfg.bad_point_outlier_min)
+           & (m.point_outlier > m.point_inlier))
+    return m._replace(
+        point_valid=m.point_valid & ~bad,
+        meas_valid=m.meas_valid & ~bad[None, :])
+
+
+def plane_aligner(m: MapState, key: Array, n_ransacs: int = 100) -> SE3:
+    """RANSAC dominant plane -> SE3 putting it at z=0
+    (ref: CalcPlaneAligner, src/MapMaker.cc:1100-1195)."""
+    P = m.point_pos.shape[0]
+    valid = m.point_valid
+    n = jnp.sum(valid.astype(jnp.int32))
+
+    # Sample 3 distinct valid indices per trial via random keys.
+    r = jax.random.uniform(key, (n_ransacs, P))
+    r = jnp.where(valid[None], r, -1.0)
+    _, idx3 = jax.lax.top_k(r, 3)                         # (T, 3)
+    pa = m.point_pos[idx3[:, 0]]
+    pb = m.point_pos[idx3[:, 1]]
+    pc = m.point_pos[idx3[:, 2]]
+    mean3 = (pa + pb + pc) / 3.0
+    nrm = jnp.cross(pc - pa, pb - pa)
+    nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / jnp.where(nlen < 1e-12, 1.0, nlen)
+
+    diff = m.point_pos[None] - mean3[:, None]             # (T, P, 3)
+    ndist = jnp.abs(jnp.einsum("tpj,tj->tp", diff, nrm))
+    ndist = jnp.minimum(ndist, 0.05)
+    dist_sq = jnp.sum(diff * diff, axis=-1)
+    contrib = jnp.where(valid[None] & (dist_sq > 0), ndist, 0.0)
+    scores = jnp.sum(contrib, axis=-1)
+    scores = jnp.where(nlen[:, 0] < 1e-12, jnp.inf, scores)
+    best = jnp.argmin(scores)
+    bmean, bnorm = mean3[best], nrm[best]
+
+    diffb = m.point_pos - bmean
+    inl = valid & (jnp.abs(diffb @ bnorm) < 0.05) \
+        & (jnp.sum(diffb * diffb, -1) > 0)
+    wn = jnp.maximum(jnp.sum(inl.astype(jnp.float32)), 1.0)
+    mean_in = jnp.sum(jnp.where(inl[:, None], m.point_pos, 0.0),
+                      axis=0) / wn
+    d = (m.point_pos - mean_in) * inl[:, None]
+    cov = d.T @ d
+    _, vecs = jnp.linalg.eigh(cov)
+    normal = vecs[:, 0]
+    normal = jnp.where(normal[2] > 0, -normal, normal)
+
+    # Gram-Schmidt rotation with the normal as the z row.
+    r0 = jnp.array([1.0, 0.0, 0.0])
+    r0 = r0 - normal * (r0 @ normal)
+    r0 = r0 / jnp.maximum(jnp.linalg.norm(r0), 1e-12)
+    r1 = jnp.cross(normal, r0)
+    R = jnp.stack([r0, r1, normal])
+    t = -(R @ mean_in)
+    # Too few points -> identity (ref: :1103-1106).
+    R = jnp.where(n < 10, jnp.eye(3), R)
+    t = jnp.where(n < 10, jnp.zeros(3), t)
+    return SE3(R, t)
+
+
+def apply_global_transform(m: MapState, T: SE3) -> MapState:
+    """ApplyGlobalTransformationToMap (ref: src/MapMaker.cc:463-472):
+    poses compose with T^-1, points move by T."""
+    Tinv = se3lib.inv(T)
+    new_R = jnp.einsum("kij,jl->kil", m.kf_R, Tinv.R)
+    new_t = jnp.einsum("kij,j->ki", m.kf_R, Tinv.t) + m.kf_t
+    new_pts = m.point_pos @ T.R.T + T.t
+    out = m._replace(kf_R=new_R, kf_t=new_t, point_pos=new_pts)
+    return ms.refresh_pixel_vectors(out)
+
+
+# ---------------------------------------------------------------------------
+# BA extraction / application
+# ---------------------------------------------------------------------------
+
+def extract_bundle(m: MapState, adjust_kf: Array, fixed_kf: Array,
+                   point_mask: Array, max_meas: int):
+    """Dense measurement matrix -> masked BundleProblem
+    (ref: MapMaker::BundleAdjust ID-mapping, src/MapMaker.cc:838-888).
+
+    Returns (problem, meas_k (M,), meas_p (M,)).
+    """
+    K, P = m.meas_valid.shape
+    incl_kf = adjust_kf | fixed_kf
+    pt_ok = point_mask & m.point_valid
+    include = m.meas_valid & incl_kf[:, None] & pt_ok[None, :]
+    k_idx, p_idx = jnp.nonzero(include, size=max_meas, fill_value=0)
+    n = jnp.sum(include.astype(jnp.int32))
+    mvalid = jnp.arange(max_meas) < n
+
+    level = m.meas_level[k_idx, p_idx]
+    prob = bundlelib.BundleProblem(
+        cam_R=m.kf_R, cam_t=m.kf_t,
+        cam_fixed=fixed_kf | ~adjust_kf,
+        cam_valid=incl_kf,
+        pt_pos=m.point_pos, pt_valid=pt_ok,
+        meas_cam=k_idx, meas_pt=p_idx,
+        meas_pos=m.meas_pos[k_idx, p_idx],
+        meas_sqrt_inv_noise=1.0 / levelops.level_scale(level),
+        meas_valid=mvalid,
+        meas_bad=jnp.zeros(max_meas, bool))
+    return prob, k_idx, p_idx
+
+
+def apply_bundle(m: MapState, prob: bundlelib.BundleProblem,
+                 meas_k: Array, meas_p: Array, adjust_kf: Array,
+                 point_mask: Array) -> Tuple[MapState, Array]:
+    """Write back BA results + outlier handling by provenance
+    (ref: src/MapMaker.cc:893-933).
+
+    Returns (map, failure_mask (K, P)) where failure_mask marks
+    measurements to retry via the failure queue.
+    """
+    K, P = m.meas_valid.shape
+    pt_ok = point_mask & m.point_valid
+    new_R = jnp.where(adjust_kf[:, None, None], prob.cam_R, m.kf_R)
+    new_t = jnp.where(adjust_kf[:, None], prob.cam_t, m.kf_t)
+    new_pts = jnp.where(pt_ok[:, None], prob.pt_pos, m.point_pos)
+
+    out_mask2d = jnp.zeros((K, P), bool).at[meas_k, meas_p].max(
+        prob.meas_bad & prob.meas_valid)
+    src = m.meas_source
+    # Root-source outlier or too-few remaining measurements -> bad point.
+    remaining = m.meas_valid & ~out_mask2d
+    good_count = jnp.sum(remaining.astype(jnp.int32), axis=0)     # (P,)
+    root_out = jnp.any(out_mask2d & (src == ms.SRC_ROOT), axis=0)
+    any_out = jnp.any(out_mask2d, axis=0)
+    point_bad = any_out & (root_out | (good_count <= 2))
+
+    retry = out_mask2d & ((src == ms.SRC_TRACKER)
+                          | (src == ms.SRC_EPIPOLAR)) \
+        & ~point_bad[None, :]
+    never = out_mask2d & ~retry & ~point_bad[None, :]
+
+    out = m._replace(
+        kf_R=new_R, kf_t=new_t, point_pos=new_pts,
+        meas_valid=m.meas_valid & ~out_mask2d & ~point_bad[None, :],
+        point_valid=m.point_valid & ~point_bad,
+        never_retry=m.never_retry | never)
+    out = ms.refresh_pixel_vectors(out)
+    return out, retry
+
+
+# ---------------------------------------------------------------------------
+# Keyframe distances / heuristics
+# ---------------------------------------------------------------------------
+
+def closest_kf(m: MapState, k) -> Array:
+    """Index of the nearest other valid keyframe (ref: ClosestKeyFrame,
+    src/MapMaker.cc:737-752)."""
+    d = ms.closest_kf_distances(m, SE3(m.kf_R[k], m.kf_t[k]))
+    d = d.at[k].set(jnp.inf)
+    return jnp.argmin(d)
+
+
+def need_new_kf(m: MapState, pose: SE3, depth_mean,
+                wiggle_depth_norm, max_dist_mult: float) -> Array:
+    """ref: MapMaker::IsNeedNewKeyFrame (src/MapMaker.cc:754-763)."""
+    d = ms.closest_kf_distances(m, pose)
+    dist = jnp.min(d) / jnp.maximum(depth_mean, 1e-6)
+    return dist > max_dist_mult * wiggle_depth_norm
+
+
+# ---------------------------------------------------------------------------
+# Host orchestrator
+# ---------------------------------------------------------------------------
+
+class MapMaker:
+    """Host-side priority scheduler over the jitted mapping jobs
+    (ref: MapMaker::run, src/MapMaker.cc:57-114). Instead of a CPU thread
+    with flag-polling, the caller invokes ``step()`` whenever it wants
+    mapping work done; pending keyframes abort long BA runs between jitted
+    LM steps just like the reference's abort flag."""
+
+    def __init__(self, m: MapState, cam: atan.Camera, image_size,
+                 cfg: MapMakerConfig = MapMakerConfig(),
+                 ba_cfg: BundleConfig = BundleConfig(),
+                 max_ba_meas: int = 4096, seed: int = 0):
+        self.map = m
+        self.cam = cam
+        self.image_size = image_size
+        self.cfg = cfg
+        self.ba_cfg = ba_cfg
+        self.max_ba_meas = max_ba_meas
+        K, P = m.meas_valid.shape
+        self.failure_mask = jnp.zeros((K, P), bool)
+        self.new_point_mask = jnp.zeros(P, bool)
+        self.converged_recent = True
+        self.converged_full = True
+        self.kf_queue: list = []          # [(FrameFeatures, pose, meas)]
+        self.wiggle_depth_norm = 1.0
+        self.key = jax.random.PRNGKey(seed)
+        self._rng = np.random.default_rng(seed)
+
+    # -- small helpers ----------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def queue_size(self) -> int:
+        return len(self.kf_queue)
+
+    def n_kfs(self) -> int:
+        return int(self.map.n_kfs())
+
+    # -- jobs -------------------------------------------------------------
+    def bundle_adjust(self, adjust_kf, fixed_kf, point_mask, recent: bool):
+        prob, mk, mp = extract_bundle(self.map, adjust_kf, fixed_kf,
+                                      point_mask, self.max_ba_meas)
+        abort = (lambda: len(self.kf_queue) > 0)
+        state, _ = bundlelib.compute(prob, self.cam, self.ba_cfg,
+                                     abort_check=abort)
+        self.map, retry = apply_bundle(self.map, state.problem, mk, mp,
+                                       adjust_kf, point_mask)
+        self.failure_mask = self.failure_mask | retry
+        if int(state.accepted) > 0:
+            if recent:
+                self.converged_recent = False
+            self.converged_full = False
+        if bool(state.converged):
+            self.converged_recent = True
+            if not recent:
+                self.converged_full = True
+
+    def bundle_adjust_all(self):
+        kf_valid = self.map.kf_valid
+        fixed = kf_valid & self.map.kf_fixed
+        adjust = kf_valid & ~self.map.kf_fixed
+        self.bundle_adjust(adjust, fixed, self.map.point_valid,
+                           recent=False)
+
+    def bundle_adjust_recent(self, newest: int):
+        """Local BA: newest + 4 nearest adjusted; other observers fixed
+        (ref: BundleAdjustRecent, src/MapMaker.cc:788-829)."""
+        m = self.map
+        if self.n_kfs() < 8:
+            self.converged_recent = True
+            return
+        d = np.asarray(ms.closest_kf_distances(
+            m, SE3(m.kf_R[newest], m.kf_t[newest])))
+        d[newest] = np.inf
+        order = np.argsort(d)
+        adjust = np.zeros(d.shape[0], bool)
+        adjust[newest] = True
+        for j in order[:4]:
+            if np.isfinite(d[j]) and not bool(m.kf_fixed[j]):
+                adjust[j] = True
+        adjust_j = jnp.asarray(adjust) & m.kf_valid
+        pts = jnp.any(m.meas_valid & adjust_j[:, None], axis=0) \
+            & m.point_valid
+        observers = jnp.any(m.meas_valid & pts[None, :], axis=1)
+        fixed = observers & ~adjust_j & m.kf_valid
+        self.bundle_adjust(adjust_j, fixed, pts, recent=True)
+
+    def add_some_map_points(self, src_kf: int, level: int):
+        tgt = int(closest_kf(self.map, src_kf))
+        self.map, n, new_mask = add_points_epipolar(
+            self.map, src_kf, tgt, level, self.cam, self.image_size,
+            self.cfg.wiggle_scale, self.cfg.thin_candidates_radius)
+        self.new_point_mask = self.new_point_mask | new_mask
+        return int(n)
+
+    def refind_newly_made(self):
+        """(ref: ReFindNewlyMade, src/MapMaker.cc:1046-1065)."""
+        mask = self.new_point_mask
+        if not bool(jnp.any(mask)):
+            return 0
+        total = 0
+        for k in range(int(self.map.kf_valid.shape[0])):
+            if not bool(self.map.kf_valid[k]):
+                continue
+            self.map, nf = refind_in_kf(self.map, k, mask, self.cam,
+                                        self.image_size)
+            total += int(nf)
+            if self.kf_queue:
+                break
+        self.new_point_mask = jnp.zeros_like(mask)
+        return total
+
+    def refind_from_failure_queue(self):
+        """(ref: ReFindFromFailureQueue, src/MapMaker.cc:1070-1081)."""
+        fm = self.failure_mask
+        if not bool(jnp.any(fm)):
+            return 0
+        total = 0
+        for k in range(int(self.map.kf_valid.shape[0])):
+            col = fm[k]
+            if not bool(jnp.any(col)):
+                continue
+            self.map, nf = refind_in_kf(self.map, k, col, self.cam,
+                                        self.image_size)
+            total += int(nf)
+        self.failure_mask = jnp.zeros_like(fm)
+        return total
+
+    def handle_bad_points(self):
+        self.map = handle_bad_points(self.map, self.cfg)
+
+    def add_keyframe(self, features: FrameFeatures, pose: SE3,
+                     meas: dict, depth_mean: float, depth_sigma: float):
+        """Tracker entry point (ref: MapMaker::AddKeyFrame,
+        src/MapMaker.cc:480-488): enqueue; BA aborts via queue_size."""
+        self.kf_queue.append((features, pose, meas, depth_mean,
+                              depth_sigma))
+
+    def integrate_keyframe(self):
+        """(ref: AddKeyFrameFromTopOfQueue, src/MapMaker.cc:493-518)."""
+        if not self.kf_queue:
+            return None
+        features, pose, meas, dmean, dsigma = self.kf_queue.pop(0)
+        slot = int(np.argmin(np.asarray(self.map.kf_valid)))
+        if bool(self.map.kf_valid[slot]):
+            return None  # keyframe capacity exhausted
+        self.map = ms.insert_keyframe(self.map, slot, features, pose,
+                                      dmean, dsigma)
+        if meas is not None:
+            self.map = ms.set_measurements(
+                self.map, slot, meas["point"], meas["pos"], meas["level"],
+                meas["subpix"],
+                jnp.full_like(meas["level"], ms.SRC_TRACKER),
+                meas["valid"])
+        self.map, _ = refind_in_kf(self.map, slot, self.map.point_valid,
+                                   self.cam, self.image_size)
+        for lev in (3, 0, 1, 2):
+            self.add_some_map_points(slot, lev)
+        self.converged_recent = False
+        self.converged_full = False
+        return slot
+
+    # -- the priority loop -------------------------------------------------
+    def step(self, newest_kf: Optional[int] = None):
+        """One pass of the mapping priority hierarchy
+        (ref: MapMaker::run, src/MapMaker.cc:82-113)."""
+        if not bool(self.map.good):
+            return
+        if not self.converged_recent and not self.kf_queue \
+                and newest_kf is not None:
+            self.bundle_adjust_recent(newest_kf)
+        if self.converged_recent and not self.kf_queue:
+            self.refind_newly_made()
+        if self.converged_recent and not self.converged_full \
+                and not self.kf_queue:
+            self.bundle_adjust_all()
+        if self.converged_recent and self.converged_full \
+                and self._rng.integers(20) == 0 and not self.kf_queue:
+            self.refind_from_failure_queue()
+        self.handle_bad_points()
+        if self.kf_queue:
+            return self.integrate_keyframe()

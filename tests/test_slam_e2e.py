@@ -1,0 +1,82 @@
+"""Full SLAM pipeline end-to-end: init -> track -> map on a synthetic
+sequence with ground truth (BASELINE configs 1-3 behavior)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptam_cg_tpu.config import CameraConfig, EngineConfig
+from ptam_cg_tpu.io import synth
+from ptam_cg_tpu.models import engine as engine_lib
+from ptam_cg_tpu.utils import evaluate
+from ptam_cg_tpu.utils.se3 import SE3
+
+REF_PARAMS = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
+SIZE = (320, 240)
+N_FRAMES = 26
+
+
+@pytest.fixture(scope="module")
+def run():
+    seq = synth.SyntheticSequence(REF_PARAMS, image_size=SIZE,
+                                  n_frames=N_FRAMES, seed=5, height=1.5,
+                                  radius=0.35, sweep=1.3)
+    from ptam_cg_tpu.config import MapMakerConfig
+    cfg = EngineConfig(
+        camera=CameraConfig(params=REF_PARAMS, image_size=SIZE),
+        # 70 is the reference's code default (src/KeyFrame.cc:64); the
+        # 400 in settings.cfg is tuned for real 640x480 video.
+        mapmaker=MapMakerConfig(candidate_min_shi_tomasi_score=70.0))
+    eng = engine_lib.SLAMEngine(cfg, image_size=SIZE, max_points=1024,
+                                max_kfs=8, auto_init_frames=6, seed=0)
+    infos = []
+    for i in range(N_FRAMES):
+        infos.append(eng.process_frame(seq.frame(i)))
+    return seq, eng, infos
+
+
+def test_initializes(run):
+    seq, eng, infos = run
+    stages = [inf.stage for inf in infos]
+    assert "TRAIL_TRACKING" in stages
+    assert "TRACKING" in stages
+    first_tracking = stages.index("TRACKING")
+    assert first_tracking <= 10, stages[:12]
+
+
+def test_map_grows(run):
+    seq, eng, infos = run
+    final = infos[-1]
+    assert final.n_points > 100, final.n_points
+    assert final.n_kfs >= 2
+
+
+def test_tracking_quality(run):
+    seq, eng, infos = run
+    tracking = [inf for inf in infos if inf.stage == "TRACKING"]
+    assert len(tracking) > 10
+    good = sum(1 for inf in tracking if inf.quality == 2)
+    assert good / len(tracking) > 0.8, [inf.quality for inf in tracking]
+    assert all(inf.n_found > 30 for inf in tracking[1:])
+
+
+def test_ate_bounded(run):
+    """ATE after Sim3 alignment must be small relative to trajectory size
+    (the monocular map has arbitrary scale/frame)."""
+    seq, eng, infos = run
+    est, gt = [], []
+    for i, inf in enumerate(infos):
+        if inf.stage != "TRACKING":
+            continue
+        est.append(np.asarray(evaluate.camera_centers(
+            SE3(inf.pose.R[None], inf.pose.t[None])))[0])
+        c = seq.pose(i)
+        gt.append(np.asarray(-jnp.asarray(c.R).T @ jnp.asarray(c.t)))
+    est = np.stack(est)
+    gt = np.stack(gt)
+    ate = evaluate.ate_rmse(jnp.asarray(est), jnp.asarray(gt))
+    traj_span = np.linalg.norm(gt.max(0) - gt.min(0))
+    assert ate < 0.05 * max(traj_span, 0.1), (ate, traj_span)

@@ -29,7 +29,7 @@ def setup():
     ff0 = keyframe.build_frame(f0, candidate_min_score=100.0)
     pose0 = seq.pose(0)
 
-    m = map_state.empty_map(SIZE, max_points=512, max_kfs=4, max_meas=256)
+    m = map_state.empty_map(SIZE, max_points=512, max_kfs=4)
     m = map_state.insert_keyframe(m, 0, ff0, pose0, 1.5, 0.1)
 
     # Build ground-truth map points from frame-0 candidates: unproject
