@@ -1,0 +1,129 @@
+"""Benchmark: per-chip tracking throughput on real hardware.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Scenario (the reference's operating point): 640x480 frames, a ~2000-point
+map, full per-frame pipeline = frame build (pyramid + FAST + SBI) +
+two-stage coarse/fine tracking with up to 1000 fine patches + GN pose
+solve (ref envelope: video-rate = 30 FPS on a Core 2 Duo,
+doc/PTAM.txt:33-53; BASELINE target >= 5x per chip).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ptam_cg_tpu.camera import atan
+    from ptam_cg_tpu.config import EngineConfig
+    from ptam_cg_tpu.io import synth
+    from ptam_cg_tpu.models import keyframe, map_state, tracker
+    from ptam_cg_tpu.ops import levels as levelops
+    from ptam_cg_tpu.utils import se3 as se3lib
+
+    size = (640, 480)
+    params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
+    seq = synth.SyntheticSequence(params, image_size=size, n_frames=8,
+                                  seed=7, height=1.5, radius=0.2,
+                                  sweep=0.6)
+    cam = seq.cam
+
+    # Ground-truth map from frame-0 candidates on the plane (~2000 pts).
+    f0 = seq.frame(0)
+    ff0 = keyframe.build_frame(f0, candidate_min_score=50.0)
+    pose0 = seq.pose(0)
+    T_wc = se3lib.inv(pose0)
+
+    P = 2048
+    m = map_state.empty_map(size, max_points=P, max_kfs=4)
+    m = map_state.insert_keyframe(m, 0, ff0, pose0, 1.5, 0.1)
+
+    cand_xy = np.asarray(ff0.cand_xy)
+    cand_valid = np.asarray(ff0.cand_valid)
+    pts, centers, lvls = [], [], []
+    for lev in range(4):
+        xy = cand_xy[lev][cand_valid[lev]]
+        for (x, y) in xy:
+            p0 = (np.array([x, y], np.float64) + 0.5) * (1 << lev) - 0.5
+            z1 = np.asarray(atan.unproject(
+                jnp.asarray(p0, jnp.float32), cam))
+            ray = np.asarray(T_wc.R) @ np.array([z1[0], z1[1], 1.0])
+            origin = np.asarray(T_wc.t)
+            s = -origin[2] / ray[2]
+            if s <= 0:
+                continue
+            pts.append(origin + s * ray)
+            centers.append([x, y])
+            lvls.append(lev)
+            if len(pts) >= P:
+                break
+        if len(pts) >= P:
+            break
+    n = len(pts)
+    pos = np.zeros((P, 3), np.float32)
+    pos[:n] = np.stack(pts)
+    ctr = np.zeros((P, 2), np.float32)
+    ctr[:n] = np.stack(centers)
+    lv = np.zeros(P, np.int32)
+    lv[:n] = np.array(lvls)
+    c_nc, r_nc, d_nc, nrm = map_state.make_point_rays(
+        jnp.asarray(ctr), jnp.asarray(lv), pose0, cam, size)
+    m = m._replace(
+        point_pos=jnp.asarray(pos),
+        point_valid=jnp.asarray(np.arange(P) < n),
+        point_src_level=jnp.asarray(lv), point_center=jnp.asarray(ctr),
+        point_center_nc=c_nc, point_right_nc=r_nc, point_down_nc=d_nc,
+        point_normal_nc=nrm, good=jnp.asarray(True))
+    m = map_state.refresh_pixel_vectors(m)
+
+    cfg = EngineConfig()
+    cam_params = jnp.asarray(params, jnp.float32)
+
+    @jax.jit
+    def frame_step(state, im, prev_sbi, key):
+        ff = keyframe.build_frame(im, cfg.frontend, 70.0)
+        out = tracker.track_frame(state, m, ff, prev_sbi, cam, size,
+                                  cam_params, key, cfg.tracker)
+        return out.state, ff.sbi, jnp.sum(out.result.meas_valid)
+
+    state = tracker.init_tracker_state(pose0)
+    frames = [seq.frame(i) for i in range(1, 8)]
+    prev_sbi = ff0.sbi
+
+    # Warmup / compile.
+    state_w, sbi_w, nf = frame_step(state, frames[0], prev_sbi,
+                                    jax.random.PRNGKey(0))
+    nf.block_until_ready()
+    n_found = int(nf)
+
+    # Timed steady-state loop.
+    iters = 30
+    st = state
+    sbi = prev_sbi
+    t0 = time.perf_counter()
+    for i in range(iters):
+        st, sbi, nf = frame_step(st, frames[i % len(frames)], sbi,
+                                 jax.random.PRNGKey(i))
+    nf.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    fps = 1.0 / dt
+
+    baseline_fps = 30.0   # reference video-rate envelope per CPU
+    print(json.dumps({
+        "metric": "tracking_fps_640x480_2048pts",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 2),
+    }))
+    print(f"# n_found={n_found} map_points={n} "
+          f"frame_time={dt*1000:.1f}ms", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -229,12 +229,31 @@ def _gn_pose_iterations(pose: SE3, cam: atan.Camera, image_size,
     return SE3(R, t), w
 
 
+def local_point_mask(m: MapState, pose: SE3, n_nearest: int = 4) -> Array:
+    """Points measured by the ``n_nearest`` keyframes to ``pose`` — the
+    PVS restriction of Tracker::TrackMapLocal (ref: src/Tracker.cc:700-857,
+    which tracks only ~200 points from the 4 nearest KFs)."""
+    from ptam_cg_tpu.models import map_state as ms
+
+    d = ms.closest_kf_distances(m, pose)
+    neg = jnp.where(jnp.isfinite(d), -d, -jnp.inf)
+    _, idx = jax.lax.top_k(neg, min(n_nearest, d.shape[0]))
+    near = jnp.zeros_like(m.kf_valid).at[idx].set(True)
+    near = near & m.kf_valid
+    return jnp.any(m.meas_valid & near[:, None], axis=0) & m.point_valid
+
+
 def track_map(m: MapState, frame: FrameFeatures, pose: SE3,
               cam: atan.Camera, image_size, key: Array,
               msd_vel: Array, just_recovered: Array,
-              cfg: TrackerConfig = TrackerConfig()) -> TrackResult:
+              cfg: TrackerConfig = TrackerConfig(),
+              point_filter: Array | None = None) -> TrackResult:
     """Full two-stage coarse/fine map tracking (ref: Tracker::TrackMap,
-    src/Tracker.cc:442-698). One jitted program."""
+    src/Tracker.cc:442-698). One jitted program.
+
+    ``point_filter``: optional (P,) mask restricting the PVS — pass
+    ``local_point_mask(...)`` for TrackMapLocal behavior.
+    """
     W, H = image_size
     P = m.point_pos.shape[0]
     k_coarse, k_fine = jax.random.split(key)
@@ -246,6 +265,8 @@ def track_map(m: MapState, frame: FrameFeatures, pose: SE3,
     warp = patchops.search_level_and_warp(
         p_cam, pose.R, m.point_right_w, m.point_down_w, cam_derivs)
     pvs = m.point_valid & proj_ok & warp.good
+    if point_filter is not None:
+        pvs = pvs & point_filter
     level = warp.level
 
     # ---- coarse stage selection ----------------------------------------
