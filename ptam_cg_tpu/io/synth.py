@@ -94,6 +94,37 @@ def render_plane(cam: atan.Camera, T_cw: SE3, texture: Array,
     return jnp.where(hit, vals, 0.0)
 
 
+def render_checkerboard(cam: atan.Camera, T_cw: SE3,
+                        image_size: Tuple[int, int],
+                        dark: float = 40.0, light: float = 210.0,
+                        blur: float = 0.0) -> Array:
+    """Render a unit-square checkerboard on the z=0 world plane — the
+    synthetic target for camera-calibration tests (the reference's
+    physical checkerboard grid, ref: doc/PTAM.txt calibration section).
+    Rays missing the plane render mid-gray."""
+    from ptam_cg_tpu.ops import image as imops
+
+    W, H = image_size
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    pix = jnp.stack([xs, ys], axis=-1)
+    z1 = atan.unproject(pix, cam)
+    ray_cam = jnp.concatenate([z1, jnp.ones_like(z1[..., :1])], axis=-1)
+    T_wc = se3lib.inv(T_cw)
+    origin = T_wc.t
+    dir_w = ray_cam @ T_wc.R.T
+    dz = dir_w[..., 2]
+    s = -origin[2] / jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
+    hit = (s > 0.05) & (jnp.abs(dz) > 1e-6)
+    xy = origin[:2] + s[..., None] * dir_w[..., :2]
+    par = (jnp.floor(xy[..., 0]) + jnp.floor(xy[..., 1])) % 2.0
+    vals = jnp.where(par < 0.5, light, dark)
+    out = jnp.where(hit, vals, 0.5 * (dark + light))
+    if blur > 0:
+        out = imops.gaussian_blur(out, blur)
+    return out
+
+
 def orbit_trajectory(n_frames: int, height: float = 1.5,
                      radius: float = 0.25, sweep: float = 0.8,
                      look_at_z: float = 0.0) -> SE3:
