@@ -54,3 +54,16 @@ def test_sharded_step_compiles_on_mesh(mesh):
     # Measurement arrays stay sharded across the mesh.
     shardings = out.problem.meas_valid.sharding
     assert len(shardings.device_set) == 8
+
+
+def test_mesh_helpers():
+    from ptam_cg_tpu.parallel import mesh as meshlib
+    m = meshlib.make_map_mesh()
+    assert m.axis_names == ("mp",)
+    assert len(m.devices.ravel()) == 8
+    m2 = meshlib.make_map_mesh(4)
+    assert len(m2.devices.ravel()) == 4
+    assert meshlib.pad_to_multiple(1000, 8) == 1000
+    assert meshlib.pad_to_multiple(1001, 8) == 1008
+    # Single-host: distributed init is a no-op without coordinator env.
+    assert meshlib.initialize_distributed() is False
