@@ -85,20 +85,24 @@ def main():
     cfg = EngineConfig()
     cam_params = jnp.asarray(params, jnp.float32)
 
-    @jax.jit
-    def frame_step(state, im, prev_sbi, key):
-        ff = keyframe.build_frame(im, cfg.frontend, 70.0)
-        out = tracker.track_frame(state, m, ff, prev_sbi, cam, size,
-                                  cam_params, key, cfg.tracker)
-        return out.state, ff.sbi, jnp.sum(out.result.meas_valid)
+    # Two jitted programs per frame (frontend build + track), with the
+    # map as a device-resident ARGUMENT. One fused program or captured
+    # multi-MB closure constants both compile to markedly slower code on
+    # this backend.
+    build_step = jax.jit(
+        lambda im: keyframe.build_frame(im, cfg.frontend, 70.0))
+    track_step = jax.jit(
+        lambda s, m_, ff, ps, k: tracker.track_frame(
+            s, m_, ff, ps, cam, size, cam_params, k, cfg.tracker))
 
     state = tracker.init_tracker_state(pose0)
     frames = [seq.frame(i) for i in range(1, 8)]
     prev_sbi = ff0.sbi
 
     # Warmup / compile.
-    state_w, sbi_w, nf = frame_step(state, frames[0], prev_sbi,
-                                    jax.random.PRNGKey(0))
+    ffw = build_step(frames[0])
+    outw = track_step(state, m, ffw, prev_sbi, jax.random.PRNGKey(0))
+    nf = jnp.sum(outw.result.meas_valid)
     nf.block_until_ready()
     n_found = int(nf)
 
@@ -108,11 +112,14 @@ def main():
     sbi = prev_sbi
     t0 = time.perf_counter()
     for i in range(iters):
-        st, sbi, nf = frame_step(st, frames[i % len(frames)], sbi,
-                                 jax.random.PRNGKey(i))
-    nf.block_until_ready()
+        ff = build_step(frames[i % len(frames)])
+        out = track_step(st, m, ff, sbi, jax.random.PRNGKey(i))
+        st = out.state
+        sbi = ff.sbi
+    st.pose.t.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
+    n_found = int(jnp.sum(out.result.meas_valid))
 
     baseline_fps = 30.0   # reference video-rate envelope per CPU
     print(json.dumps({

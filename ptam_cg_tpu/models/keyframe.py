@@ -85,7 +85,10 @@ def make_frame_rest(pyramid: Tuple[Array, ...], scores: Tuple[Array, ...],
     for lev in range(LEVELS):
         sc = scores[lev]
         keep = fastops.nonmax_3x3(sc)
-        corners = fastops.corners_from_mask(keep, sc, NONMAX_CAP)
+        # tile=2: nonmax already enforces 3x3 spacing, so one-per-2x2
+        # tiled selection loses almost nothing and avoids the full-image
+        # top_k sort.
+        corners = fastops.corners_from_mask(keep, sc, NONMAX_CAP, tile=2)
         max_xy.append(corners.xy)
         max_score.append(corners.score)
         max_valid.append(corners.valid)
@@ -98,7 +101,7 @@ def make_frame_rest(pyramid: Tuple[Array, ...], scores: Tuple[Array, ...],
         if hl > 20 and wl > 20:
             border = border.at[10:-10, 10:-10].set(True)
         cand_mask = keep & border & (st > candidate_min_score)
-        cands = fastops.corners_from_mask(cand_mask, st, CAND_CAP)
+        cands = fastops.corners_from_mask(cand_mask, st, CAND_CAP, tile=2)
         cand_xy.append(cands.xy)
         cand_score.append(cands.score)
         cand_valid.append(cands.valid)

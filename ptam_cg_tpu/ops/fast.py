@@ -110,20 +110,41 @@ class Corners(NamedTuple):
     count: Array   # () int32
 
 
-def corners_from_mask(mask: Array, score: Array, max_n: int) -> Corners:
+def corners_from_mask(mask: Array, score: Array, max_n: int,
+                      tile: int = 1) -> Corners:
     """Top-``max_n`` corners by score from a dense mask (capacity overflow
     keeps the strongest — the static-shape replacement for the reference's
-    unbounded std::vector<ImageRef>)."""
+    unbounded std::vector<ImageRef>).
+
+    ``tile`` > 1 enables tiled selection: only the best corner per
+    (tile x tile) block competes, which shrinks the top_k sort by tile^2
+    (a full-image sort costs ~6 ms on TPU) and spreads corners spatially.
+    """
     H, W = mask.shape
-    key = jnp.where(mask, score, -jnp.inf).reshape(-1)
-    k = min(max_n, H * W)
-    vals, idx = jax.lax.top_k(key, k)
+    key = jnp.where(mask, score, -jnp.inf)
+    if tile > 1 and H % tile == 0 and W % tile == 0:
+        Ht, Wt = H // tile, W // tile
+        blocks = key.reshape(Ht, tile, Wt, tile).transpose(0, 2, 1, 3)
+        blocks = blocks.reshape(Ht, Wt, tile * tile)
+        within = jnp.argmax(blocks, axis=-1)                 # (Ht, Wt)
+        key = jnp.max(blocks, axis=-1)
+        k = min(max_n, Ht * Wt)
+        vals, idx = jax.lax.top_k(key.reshape(-1), k)
+        ty = idx // Wt
+        tx = idx % Wt
+        w = jnp.take(within.reshape(-1), idx)
+        ys = ty * tile + w // tile
+        xs = tx * tile + w % tile
+    else:
+        k = min(max_n, H * W)
+        vals, idx = jax.lax.top_k(key.reshape(-1), k)
+        ys = idx // W
+        xs = idx % W
     if k < max_n:   # pad capacity for small levels
         vals = jnp.concatenate([vals, jnp.full(max_n - k, -jnp.inf)])
-        idx = jnp.concatenate([idx, jnp.zeros(max_n - k, idx.dtype)])
+        xs = jnp.concatenate([xs, jnp.zeros(max_n - k, xs.dtype)])
+        ys = jnp.concatenate([ys, jnp.zeros(max_n - k, ys.dtype)])
     valid = vals > -jnp.inf
-    ys = idx // W
-    xs = idx % W
     xy = jnp.stack([xs, ys], axis=-1).astype(jnp.int32)
     xy = jnp.where(valid[:, None], xy, -1)
     return Corners(xy=xy, score=jnp.where(valid, vals, 0.0), valid=valid,

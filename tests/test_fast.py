@@ -101,3 +101,31 @@ def test_detect_full_pipeline():
     for i in range(n):
         x, y = np.asarray(corners.xy[i])
         assert m[y, x]
+
+
+def test_pallas_fast_matches_xla_interpret():
+    """Pallas kernel parity in interpret mode (runs anywhere)."""
+    from ptam_cg_tpu.ops import pallas_kernels as pk
+    im = np.random.default_rng(5).uniform(0, 255, (48, 64)) \
+        .astype(np.float32)
+    m1, s1 = fastops.fast_score_map(jnp.asarray(im), 15.0)
+    m2, s2 = pk.fast_score_map_pallas(jnp.asarray(im), 15.0,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
+
+
+def test_tiled_corner_selection():
+    mask = np.zeros((16, 16), bool)
+    score = np.zeros((16, 16), np.float32)
+    # Two corners in the same 2x2 tile: only the stronger survives.
+    mask[4, 4] = mask[4, 5] = True
+    score[4, 4] = 5.0
+    score[4, 5] = 9.0
+    mask[8, 12] = True
+    score[8, 12] = 7.0
+    c = fastops.corners_from_mask(jnp.asarray(mask), jnp.asarray(score),
+                                  8, tile=2)
+    assert int(c.count) == 2
+    got = {tuple(xy) for xy in np.asarray(c.xy[:2])}
+    assert got == {(5, 4), (12, 8)}
