@@ -213,7 +213,10 @@ def _gn_pose_iterations(pose: SE3, cam: atan.Camera, image_size,
         err = (v2found - pix) * sqrt_inv_noise[:, None]
         ok = found & proj_ok
         err_sq = jnp.sum(err * err, axis=-1)
-        sigma_sq = mest.find_sigma_squared(err_sq, ok, mest_kind)
+        # Approx median: this runs inside every GN iteration; a full
+        # sort per iteration dominates the solve on TPU.
+        sigma_sq = mest.find_sigma_squared(err_sq, ok, mest_kind,
+                                           approx=True)
         sigma_sq = jnp.where(it > override_after,
                              jnp.float32(override_val), sigma_sq)
         w = jnp.where(ok, mest.weight(err_sq, sigma_sq, mest_kind), 0.0)

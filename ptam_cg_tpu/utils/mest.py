@@ -45,15 +45,45 @@ def masked_median(values: Array, mask: Array) -> Array:
     return v[idx]
 
 
+def masked_median_approx(values: Array, mask: Array) -> Array:
+    """Median-of-medians approximation: rows of ~sqrt(N), exact masked
+    median per row, then the masked median of row-medians. ~2 small sorts
+    instead of one full-length sort (a full sort costs milliseconds on
+    TPU and the robust-sigma loops run it every GN iteration). Bias is
+    well within the M-estimator's tolerance."""
+    n = values.shape[-1]
+    rows = 1
+    while rows * rows < n:
+        rows *= 2
+    cols = -(-n // rows)
+    pad = rows * cols - n
+    big = jnp.asarray(jnp.finfo(values.dtype).max, values.dtype)
+    v = jnp.where(mask, values, big)
+    v = jnp.concatenate([v, jnp.full((pad,), big, values.dtype)])
+    m = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
+    v2 = jnp.sort(v.reshape(rows, cols), axis=-1)
+    cnt = jnp.sum(m.reshape(rows, cols).astype(jnp.int32), axis=-1)
+    idx = jnp.clip(cnt // 2, 0, cols - 1)
+    row_med = jnp.take_along_axis(v2, idx[:, None], axis=-1)[:, 0]
+    row_ok = cnt > 0
+    return masked_median(row_med, row_ok)
+
+
 def find_sigma_squared(err_sq: Array, mask: Array, kind: int = TUKEY,
-                       min_sigma: float = 0.0) -> Array:
+                       min_sigma: float = 0.0,
+                       approx: bool = False) -> Array:
     """Robust sigma^2 from masked squared errors.
 
     ``kind`` must be a Python int (static under jit). ``min_sigma`` applies
     the reference BA's floor (ref: src/Bundle.cc:234 min sigma 0.4px).
+    ``approx`` uses the median-of-medians (for per-iteration use in hot
+    GN loops).
     """
     n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
-    median_sq = masked_median(err_sq, mask)
+    # Approximation only pays off (and stays accurate) on big arrays.
+    use_approx = approx and err_sq.shape[-1] >= 512
+    median_fn = masked_median_approx if use_approx else masked_median
+    median_sq = median_fn(err_sq, mask)
     if kind == LSQ:
         total = jnp.sum(jnp.where(mask, err_sq, 0.0))
         return total / n

@@ -80,3 +80,23 @@ def test_min_sigma_floor():
     got = mest.find_sigma_squared(errs, jnp.ones(3, bool), mest.TUKEY,
                                   min_sigma=0.4)
     np.testing.assert_allclose(got, 0.16, rtol=1e-5)
+
+
+def test_approx_median_close_to_exact():
+    rng = np.random.default_rng(3)
+    for n, frac in [(1152, 1.0), (1000, 0.6), (1024, 0.25)]:
+        vals = jnp.asarray(rng.lognormal(0, 1.5, n).astype(np.float32))
+        mask = jnp.asarray(rng.uniform(size=n) < frac)
+        exact = float(mest.masked_median(vals, mask))
+        approx = float(mest.masked_median_approx(vals, mask))
+        assert abs(approx - exact) / max(exact, 1e-6) < 0.35, \
+            (n, frac, exact, approx)
+
+
+def test_approx_sigma_close():
+    rng = np.random.default_rng(4)
+    errs = jnp.asarray((rng.normal(0, 1, 1024) ** 2).astype(np.float32))
+    mask = jnp.ones(1024, bool)
+    a = float(mest.find_sigma_squared(errs, mask, mest.TUKEY))
+    b = float(mest.find_sigma_squared(errs, mask, mest.TUKEY, approx=True))
+    assert abs(a - b) / a < 0.3, (a, b)
