@@ -19,6 +19,8 @@ def main():
     ap.add_argument("--tpu", action="store_true",
                     help="run on the TPU backend (default: CPU)")
     ap.add_argument("--seed", type=int, default=5)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a JAX profiler trace (XPlane) to DIR")
     args = ap.parse_args()
 
     import jax
@@ -47,11 +49,17 @@ def main():
                                 max_kfs=12, auto_init_frames=6,
                                 seed=args.seed)
     est, gt, times = [], [], []
+    prof = None
     for i in range(args.frames):
+        if args.profile and i == args.frames // 2:
+            prof = jax.profiler.start_trace(args.profile)
         frame = seq.frame(i)
         t0 = time.perf_counter()
         info = eng.process_frame(frame)
         times.append(time.perf_counter() - t0)
+        if args.profile and i == args.frames // 2 + 3:
+            jax.profiler.stop_trace()
+            print(f"profiler trace -> {args.profile}")
         print(f"frame {i:3d} [{info.stage:14s}] q={info.quality} "
               f"found={info.n_found:4d} pts={info.n_points:4d} "
               f"kfs={info.n_kfs} {'KF+' if info.added_kf else ''} "

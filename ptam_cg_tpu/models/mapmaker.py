@@ -433,9 +433,10 @@ def apply_bundle(m: MapState, prob: bundlelib.BundleProblem,
     out_mask2d = jnp.zeros((K, P), bool).at[meas_k, meas_p].max(
         prob.meas_bad & prob.meas_valid)
     src = m.meas_source
-    # Root-source outlier or too-few remaining measurements -> bad point.
-    remaining = m.meas_valid & ~out_mask2d
-    good_count = jnp.sum(remaining.astype(jnp.int32), axis=0)     # (P,)
+    # Root-source outlier or too-few measurements -> bad point. The
+    # count is taken BEFORE removal, like the reference's serial check
+    # (ref: src/MapMaker.cc:920 GoodMeasCount() <= 2).
+    good_count = jnp.sum(m.meas_valid.astype(jnp.int32), axis=0)  # (P,)
     root_out = jnp.any(out_mask2d & (src == ms.SRC_ROOT), axis=0)
     any_out = jnp.any(out_mask2d, axis=0)
     point_bad = any_out & (root_out | (good_count <= 2))

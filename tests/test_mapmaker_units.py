@@ -1,0 +1,161 @@
+"""Unit tests for individual mapmaker jobs (ref: src/MapMaker.cc)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptam_cg_tpu.models import map_state as ms
+from ptam_cg_tpu.models import mapmaker as mm
+from ptam_cg_tpu.utils import se3 as se3lib
+from ptam_cg_tpu.utils.se3 import SE3
+
+SIZE = (64, 64)
+
+
+def base_map(P=128, K=4):
+    return ms.empty_map(SIZE, max_points=P, max_kfs=K)
+
+
+def test_handle_bad_points_thresholds():
+    m = base_map()
+    m = m._replace(
+        point_valid=m.point_valid.at[:3].set(True),
+        point_outlier=m.point_outlier.at[0].set(25).at[1].set(25)
+        .at[2].set(10),
+        point_inlier=m.point_inlier.at[0].set(30).at[1].set(5)
+        .at[2].set(1),
+        meas_valid=m.meas_valid.at[0, :3].set(True))
+    out = mm.handle_bad_points(m)
+    # Point 0: outliers>20 but inliers>outliers -> kept.
+    # Point 1: outliers>20 and > inliers -> trashed, meas erased.
+    # Point 2: outliers below threshold -> kept.
+    v = np.asarray(out.point_valid[:3])
+    assert list(v) == [True, False, True]
+    assert not bool(out.meas_valid[0, 1])
+    assert bool(out.meas_valid[0, 0])
+
+
+def test_plane_aligner_flattens_plane():
+    m = base_map(P=256)
+    rng = np.random.default_rng(0)
+    # Points on a tilted plane + 10% outliers.
+    n = 200
+    uv = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    normal = np.array([0.2, -0.1, 1.0])
+    normal /= np.linalg.norm(normal)
+    b1 = np.cross(normal, [1, 0, 0])
+    b1 /= np.linalg.norm(b1)
+    b2 = np.cross(normal, b1)
+    pts = (uv[:, :1] * b1 + uv[:, 1:] * b2
+           + np.array([0.3, -0.2, 2.0])).astype(np.float32)
+    pts[:20] += rng.uniform(0.5, 1.5, (20, 3)).astype(np.float32)
+    P = m.point_pos.shape[0]
+    pos = np.zeros((P, 3), np.float32)
+    pos[:n] = pts
+    m = m._replace(point_pos=jnp.asarray(pos),
+                   point_valid=jnp.asarray(np.arange(P) < n))
+    T = mm.plane_aligner(m, jax.random.PRNGKey(0))
+    out = mm.apply_global_transform(m, T)
+    z = np.asarray(out.point_pos[20:n, 2])   # inliers
+    assert np.median(np.abs(z)) < 0.03, np.median(np.abs(z))
+
+
+def test_plane_aligner_too_few_points_identity():
+    m = base_map()
+    m = m._replace(point_valid=m.point_valid.at[:5].set(True))
+    T = mm.plane_aligner(m, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(T.R, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(T.t, 0.0, atol=1e-6)
+
+
+def test_apply_global_transform_preserves_reprojection():
+    """Poses compose with T^-1 while points move by T: camera-frame
+    coordinates of every point must be unchanged."""
+    m = base_map()
+    rng = np.random.default_rng(2)
+    P = m.point_pos.shape[0]
+    pts = rng.normal(size=(P, 3)).astype(np.float32)
+    pose = se3lib.se3_exp(jnp.asarray(
+        rng.normal(size=6).astype(np.float32) * 0.3))
+    m = m._replace(point_pos=jnp.asarray(pts),
+                   point_valid=jnp.ones(P, bool),
+                   kf_valid=m.kf_valid.at[0].set(True),
+                   kf_R=m.kf_R.at[0].set(pose.R),
+                   kf_t=m.kf_t.at[0].set(pose.t))
+    before = pts @ np.asarray(pose.R).T + np.asarray(pose.t)
+    T = SE3(se3lib.so3_exp(jnp.array([0.1, -0.2, 0.3])),
+            jnp.array([1.0, 2.0, -0.5]))
+    out = mm.apply_global_transform(m, T)
+    after = (np.asarray(out.point_pos) @ np.asarray(out.kf_R[0]).T
+             + np.asarray(out.kf_t[0]))
+    np.testing.assert_allclose(after, before, atol=2e-5)
+
+
+def test_closest_kf_and_need_new_kf():
+    m = base_map()
+    poses = [SE3(jnp.eye(3), jnp.asarray(t, jnp.float32))
+             for t in ([0, 0, 0], [0.5, 0, 0], [2.0, 0, 0])]
+    for k, p in enumerate(poses):
+        m = m._replace(kf_valid=m.kf_valid.at[k].set(True),
+                       kf_R=m.kf_R.at[k].set(p.R),
+                       kf_t=m.kf_t.at[k].set(p.t))
+    assert int(mm.closest_kf(m, 0)) == 1
+    assert int(mm.closest_kf(m, 2)) == 1
+    # Pose near KF0: no new KF needed at wiggle-normalized threshold.
+    near = SE3(jnp.eye(3), jnp.array([0.01, 0.0, 0.0]))
+    far = SE3(jnp.eye(3), jnp.array([0.0, 5.0, 0.0]))
+    assert not bool(mm.need_new_kf(m, near, 1.0, 0.1, 1.0))
+    assert bool(mm.need_new_kf(m, far, 1.0, 0.1, 1.0))
+
+
+def test_extract_apply_bundle_roundtrip():
+    """extract_bundle -> apply_bundle with no changes is a no-op."""
+    m = base_map()
+    rng = np.random.default_rng(3)
+    P = m.point_pos.shape[0]
+    m = m._replace(
+        point_pos=jnp.asarray(rng.normal(size=(P, 3)).astype(np.float32)),
+        point_valid=jnp.asarray(np.arange(P) < 50),
+        kf_valid=m.kf_valid.at[:2].set(True),
+        meas_valid=m.meas_valid.at[0, :50].set(True)
+        .at[1, :50].set(True),
+        meas_pos=jnp.asarray(rng.uniform(0, 64, (4, P, 2))
+                             .astype(np.float32)))
+    adjust = jnp.asarray([False, True, False, False])
+    fixed = jnp.asarray([True, False, False, False])
+    prob, mk, mp = mm.extract_bundle(m, adjust, fixed, m.point_valid, 256)
+    assert int(prob.meas_valid.sum()) == 100
+    out, retry = mm.apply_bundle(m, prob, mk, mp, adjust, m.point_valid)
+    np.testing.assert_allclose(out.point_pos, m.point_pos)
+    np.testing.assert_allclose(out.kf_t, m.kf_t)
+    assert not bool(retry.any())
+
+
+def test_apply_bundle_outlier_provenance():
+    m = base_map()
+    P = m.point_pos.shape[0]
+    # Point 0 measured in 3 KFs; mark its TRACKER meas as BA outlier.
+    m = m._replace(
+        point_valid=m.point_valid.at[:2].set(True),
+        kf_valid=m.kf_valid.at[:3].set(True),
+        meas_valid=m.meas_valid.at[:3, :2].set(True),
+        meas_source=m.meas_source.at[1, 0].set(ms.SRC_TRACKER)
+        .at[2, 1].set(ms.SRC_REFIND))
+    adjust = jnp.asarray([True, True, True, False])
+    prob, mk, mp = mm.extract_bundle(m, adjust,
+                                     jnp.zeros(4, bool), m.point_valid, 64)
+    # Mark outliers: the (kf1, pt0) TRACKER meas and (kf2, pt1) REFIND.
+    bad = np.zeros(64, bool)
+    mk_np, mp_np = np.asarray(mk), np.asarray(mp)
+    for i in range(int(prob.meas_valid.sum())):
+        if (mk_np[i], mp_np[i]) in [(1, 0), (2, 1)]:
+            bad[i] = True
+    prob = prob._replace(meas_bad=jnp.asarray(bad))
+    out, retry = mm.apply_bundle(m, prob, mk, mp, adjust, m.point_valid)
+    # TRACKER outlier -> retried via failure queue; meas removed.
+    assert bool(retry[1, 0])
+    assert not bool(out.meas_valid[1, 0])
+    # REFIND outlier -> never-retry, not in failure queue.
+    assert not bool(retry[2, 1])
+    assert bool(out.never_retry[2, 1])
