@@ -99,12 +99,17 @@ def main():
     frames = [seq.frame(i) for i in range(1, 8)]
     prev_sbi = ff0.sbi
 
-    # Warmup / compile.
+    # Warmup / compile. Two rounds: the second call's state comes from
+    # the first call's OUTPUT, whose (non-weak) dtypes differ from the
+    # hand-built init state — without this the timed loop hides a
+    # recompile.
     ffw = build_step(frames[0])
     outw = track_step(state, m, ffw, prev_sbi, jax.random.PRNGKey(0))
-    nf = jnp.sum(outw.result.meas_valid)
+    outw2 = track_step(outw.state, m, ffw, ffw.sbi, jax.random.PRNGKey(1))
+    nf = jnp.sum(outw2.result.meas_valid)
     nf.block_until_ready()
     n_found = int(nf)
+    state = outw.state
 
     # Timed steady-state loop.
     iters = 30

@@ -79,6 +79,10 @@ class SLAMEngine:
         cand_thresh = float(cfg.mapmaker.candidate_min_shi_tomasi_score)
         self._build = jax.jit(lambda im: kflib.build_frame(
             im, cfg.frontend, cand_thresh))
+        # Per-frame tracking build skips nonmax/candidates (the reference
+        # runs MakeKeyFrame_Rest only on keyframes).
+        self._build_track = jax.jit(
+            lambda im: kflib.build_frame_tracking(im, cfg.frontend))
         self._track = jax.jit(
             lambda s, m, f, ps, k: trklib.track_frame(
                 s, m, f, ps, self.cam, self.image_size, self.cam_params,
@@ -121,7 +125,10 @@ class SLAMEngine:
         Tracker::TrackFrame, src/System.cc:72-110, src/Tracker.cc:86-188).
         """
         im = jnp.asarray(im, jnp.float32)
-        features = self._build(im)
+        # Full build (with candidates) only where a keyframe may be made.
+        need_full = (self.stage != Stage.TRACKING)
+        features = (self._build(im) if need_full
+                    else self._build_track(im))
         added_kf = False
         relocalized = False
         n_found = 0
@@ -202,8 +209,11 @@ class SLAMEngine:
                             level=res.meas_level, subpix=res.meas_subpix,
                             valid=res.meas_valid)
                 self.mapmaker.map = self.map
+                # Keyframes need the full build (nonmax + candidates for
+                # epipolar expansion) — MakeKeyFrame_Rest equivalent.
+                kf_features = self._build(im)
                 self.mapmaker.add_keyframe(
-                    features, out.state.pose, meas,
+                    kf_features, out.state.pose, meas,
                     float(out.state.depth_mean),
                     float(out.state.depth_sigma))
                 self.frames_since_kf = 0

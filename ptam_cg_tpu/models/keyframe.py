@@ -124,3 +124,27 @@ def build_frame(im: Array, cfg: FrontendConfig = FrontendConfig(),
         atlas=atlas, corner_mask=corner_mask, corner_count=counts,
         max_xy=mx, max_score=ms, max_valid=mv,
         cand_xy=cx, cand_score=cs, cand_valid=cv, sbi=the_sbi)
+
+
+def build_frame_tracking(im: Array, cfg: FrontendConfig = FrontendConfig(),
+                         sbi_blur: float = 2.5) -> FrameFeatures:
+    """Per-frame tracking build: pyramid atlas + corner mask + SBI ONLY.
+
+    The reference runs MakeKeyFrame_Rest (nonmax, Shi-Tomasi candidates)
+    only on frames that become keyframes (ref: src/KeyFrame.cc:61-82 is
+    called from the mapmaker / init paths, not per frame) — the per-frame
+    tracker needs just the corner mask and SBI. The list fields are
+    empty; run ``build_frame`` before inserting a frame as a keyframe.
+    """
+    pyramid, atlas, corner_mask, scores, counts = make_frame_lite(im, cfg)
+    the_sbi = sbiops.make_sbi(pyramid[3], sbi_blur)
+    z_i = jnp.zeros((LEVELS, NONMAX_CAP, 2), jnp.int32)
+    z_f = jnp.zeros((LEVELS, NONMAX_CAP), jnp.float32)
+    z_b = jnp.zeros((LEVELS, NONMAX_CAP), bool)
+    c_i = jnp.zeros((LEVELS, CAND_CAP, 2), jnp.int32)
+    c_f = jnp.zeros((LEVELS, CAND_CAP), jnp.float32)
+    c_b = jnp.zeros((LEVELS, CAND_CAP), bool)
+    return FrameFeatures(
+        atlas=atlas, corner_mask=corner_mask, corner_count=counts,
+        max_xy=z_i, max_score=z_f, max_valid=z_b,
+        cand_xy=c_i, cand_score=c_f, cand_valid=c_b, sbi=the_sbi)
