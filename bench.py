@@ -36,7 +36,8 @@ def main():
 
     # Ground-truth map from frame-0 candidates on the plane (~2000 pts).
     f0 = seq.frame(0)
-    ff0 = keyframe.build_frame(f0, candidate_min_score=50.0)
+    ff0 = jax.jit(lambda x: keyframe.build_frame(
+        x, candidate_min_score=50.0))(f0)
     pose0 = seq.pose(0)
     T_wc = se3lib.inv(pose0)
 
@@ -89,8 +90,10 @@ def main():
     # map as a device-resident ARGUMENT. One fused program or captured
     # multi-MB closure constants both compile to markedly slower code on
     # this backend.
+    # Tracking frames use the lite build (keyframe-only stages skipped,
+    # matching the reference's per-frame MakeKeyFrame_Lite).
     build_step = jax.jit(
-        lambda im: keyframe.build_frame(im, cfg.frontend, 70.0))
+        lambda im: keyframe.build_frame_tracking(im, cfg.frontend))
     track_step = jax.jit(
         lambda s, m_, ff, ps, k: tracker.track_frame(
             s, m_, ff, ps, cam, size, cam_params, k, cfg.tracker))
