@@ -292,9 +292,22 @@ def track_map(m: MapState, frame: FrameFeatures, pose: SE3,
         (msd_vel >= cfg.coarse_min_velocity) | just_recovered)
     do_coarse_search = try_coarse & (n_eligible > cfg.coarse_min)
 
-    cres = _search_subset(m, frame, pose, cam, image_size, coarse_idx,
-                          coarse_active & do_coarse_search, coarse_range,
-                          cfg.coarse_subpix_its, subpix_level3_only=False)
+    def run_coarse_search(_):
+        return _search_subset(
+            m, frame, pose, cam, image_size, coarse_idx,
+            coarse_active, coarse_range,
+            cfg.coarse_subpix_its, subpix_level3_only=False)
+
+    def skip_coarse_search(_):
+        zb = jnp.zeros(COARSE_CAP, bool)
+        return dict(found=zb, attempted=zb,
+                    pos_l0=jnp.zeros((COARSE_CAP, 2), jnp.float32),
+                    level=jnp.zeros(COARSE_CAP, jnp.int32), subpix=zb)
+
+    # lax.cond actually skips the search work when the velocity gate is
+    # off (the common steady-state case).
+    cres = jax.lax.cond(do_coarse_search, run_coarse_search,
+                        skip_coarse_search, 0)
     n_coarse_found = jnp.sum(cres["found"].astype(jnp.int32))
     did_coarse = do_coarse_search & (n_coarse_found >= cfg.coarse_min)
 
