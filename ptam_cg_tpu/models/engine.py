@@ -192,6 +192,9 @@ class SLAMEngine:
             self.map = self.map._replace(
                 point_inlier=self.map.point_inlier + res.inlier_delta,
                 point_outlier=self.map.point_outlier + res.outlier_delta)
+            # Periodically let bad-point GC look at the new counts.
+            if self.frame_idx % 20 == 0:
+                self.mapmaker.mark_dirty()
 
             # Keyframe-add heuristics (ref: src/Tracker.cc:146-166).
             self.frames_since_kf += 1

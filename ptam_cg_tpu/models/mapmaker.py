@@ -499,6 +499,11 @@ class MapMaker:
         K, P = m.meas_valid.shape
         self.failure_mask = jnp.zeros((K, P), bool)
         self.new_point_mask = jnp.zeros(P, bool)
+        # Host-side pending flags avoid per-frame device syncs
+        # (bool(jnp.any(...)) blocks the dispatch pipeline).
+        self._new_points_pending = False
+        self._failures_pending = False
+        self._map_dirty = False
         self.converged_recent = True
         self.converged_full = True
         self.kf_queue: list = []          # [(FrameFeatures, pose, meas)]
@@ -527,6 +532,8 @@ class MapMaker:
         self.map, retry = apply_bundle(self.map, state.problem, mk, mp,
                                        adjust_kf, point_mask)
         self.failure_mask = self.failure_mask | retry
+        self._failures_pending = True
+        self._map_dirty = True
         if int(state.accepted) > 0:
             if recent:
                 self.converged_recent = False
@@ -572,13 +579,15 @@ class MapMaker:
             self.map, src_kf, tgt, level, self.cam, self.image_size,
             self.cfg.wiggle_scale, self.cfg.thin_candidates_radius)
         self.new_point_mask = self.new_point_mask | new_mask
+        if int(n) > 0:
+            self._new_points_pending = True
         return int(n)
 
     def refind_newly_made(self):
         """(ref: ReFindNewlyMade, src/MapMaker.cc:1046-1065)."""
-        mask = self.new_point_mask
-        if not bool(jnp.any(mask)):
+        if not self._new_points_pending:
             return 0
+        mask = self.new_point_mask
         total = 0
         for k in range(int(self.map.kf_valid.shape[0])):
             if not bool(self.map.kf_valid[k]):
@@ -589,26 +598,34 @@ class MapMaker:
             if self.kf_queue:
                 break
         self.new_point_mask = jnp.zeros_like(mask)
+        self._new_points_pending = False
         return total
 
     def refind_from_failure_queue(self):
         """(ref: ReFindFromFailureQueue, src/MapMaker.cc:1070-1081)."""
-        fm = self.failure_mask
-        if not bool(jnp.any(fm)):
+        if not self._failures_pending:
             return 0
+        fm = self.failure_mask
+        per_kf = np.asarray(jnp.sum(fm.astype(jnp.int32), axis=1))
         total = 0
-        for k in range(int(self.map.kf_valid.shape[0])):
-            col = fm[k]
-            if not bool(jnp.any(col)):
-                continue
-            self.map, nf = refind_in_kf(self.map, k, col, self.cam,
-                                        self.image_size)
+        for k in np.nonzero(per_kf)[0]:
+            self.map, nf = refind_in_kf(self.map, int(k), fm[int(k)],
+                                        self.cam, self.image_size)
             total += int(nf)
         self.failure_mask = jnp.zeros_like(fm)
+        self._failures_pending = False
         return total
 
     def handle_bad_points(self):
+        # Only worth running after the map actually changed (tracker
+        # outlier counts mutate on the engine side, which sets dirty).
+        if not self._map_dirty:
+            return
         self.map = handle_bad_points(self.map, self.cfg)
+        self._map_dirty = False
+
+    def mark_dirty(self):
+        self._map_dirty = True
 
     def add_keyframe(self, features: FrameFeatures, pose: SE3,
                      meas: dict, depth_mean: float, depth_sigma: float):
