@@ -159,3 +159,21 @@ def test_apply_bundle_outlier_provenance():
     # REFIND outlier -> never-retry, not in failure queue.
     assert not bool(retry[2, 1])
     assert bool(out.never_retry[2, 1])
+
+
+def test_epipolar_drops_points_when_map_full():
+    """Free-slot exhaustion: new points are silently dropped, no OOB."""
+    import ptam_cg_tpu.models.mapmaker as mmod
+    from ptam_cg_tpu.camera import atan
+    m = base_map(P=8)   # tiny capacity
+    m = m._replace(point_valid=jnp.ones(8, bool),
+                   kf_valid=m.kf_valid.at[:2].set(True),
+                   kf_t=m.kf_t.at[1].set(jnp.array([0.1, 0., 0.])),
+                   kf_cand_valid=m.kf_cand_valid.at[1, 0, :4].set(True),
+                   kf_cand_xy=m.kf_cand_xy.at[1, 0, :4].set(
+                       jnp.array([[20, 20], [30, 30], [40, 25],
+                                  [25, 40]], jnp.int32)))
+    cam = atan.make_camera((0.5, 0.75, 0.5, 0.5, 0.0), SIZE)
+    out, n, mask = mmod.add_points_epipolar(m, 1, 0, 0, cam, SIZE, 0.1)
+    assert int(n) == 0
+    assert int(out.point_valid.sum()) == 8

@@ -165,3 +165,33 @@ def test_track_sequence_accumulates_ate(setup):
     ate = float(np.sqrt(np.mean(np.square(errs))))
     assert ate < 0.02, errs   # < 2cm on a 1.5m-high orbit
     assert int(state.quality) == tracker.QUALITY_GOOD
+
+
+def test_track_map_reference_parity_subpix_mode(setup):
+    """subpix_all=False (strict reference behavior: only level-3 fine
+    points refined) still tracks, with integer-corner accuracy."""
+    seq, cam, m, _ = setup
+    gt = seq.pose(2)
+    frame2 = keyframe.build_frame(seq.frame(2), candidate_min_score=100.0)
+    cfg = TrackerConfig(subpix_all=False)
+    res = tracker.track_map(m, frame2, gt, cam, SIZE,
+                            jax.random.PRNGKey(0), jnp.float32(0.0),
+                            jnp.asarray(False), cfg)
+    assert int(jnp.sum(res.meas_valid)) > 30
+    r, t = pose_errors(res.pose, gt)
+    assert r < 0.02 and t < 0.03   # coarser than subpix_all, but sane
+
+
+def test_track_map_with_point_filter(setup):
+    seq, cam, m, _ = setup
+    gt = seq.pose(1)
+    frame1 = keyframe.build_frame(seq.frame(1), candidate_min_score=100.0)
+    P = m.point_pos.shape[0]
+    # Only allow the first 100 points.
+    filt = jnp.arange(P) < 100
+    res = tracker.track_map(m, frame1, gt, cam, SIZE,
+                            jax.random.PRNGKey(1), jnp.float32(0.0),
+                            jnp.asarray(False), point_filter=filt)
+    mv = np.asarray(res.meas_valid)
+    assert mv.sum() > 10
+    assert np.asarray(res.meas_point)[mv].max() < 100
