@@ -557,7 +557,7 @@ class MapMaker:
         if self.n_kfs() < 8:
             self.converged_recent = True
             return
-        d = np.asarray(ms.closest_kf_distances(
+        d = np.array(ms.closest_kf_distances(
             m, SE3(m.kf_R[newest], m.kf_t[newest])))
         d[newest] = np.inf
         order = np.argsort(d)
