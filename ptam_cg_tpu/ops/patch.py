@@ -269,6 +269,9 @@ class SubPixResult(NamedTuple):
     converged: Array  # (N,) bool
 
 
+MARGIN = 3      # subpix excursion allowance in the local window (px)
+
+
 def subpix_refine(atlas: Array, templates: Array, pos0: Array,
                   bounds: Array, *, max_its: int = 10,
                   conv_limit: float = 0.03,
@@ -278,6 +281,15 @@ def subpix_refine(atlas: Array, templates: Array, pos0: Array,
 
     3 DoF per point: (x, y, mean difference). Jacobians/Hessian come from
     the *template* (inverse composition), so they're computed once.
+
+    Gather strategy: each point's neighborhood is sliced from the atlas
+    ONCE into a local window; every iteration then uses the reference's
+    shared-mixing-fraction trick (all patch pixels share one bilinear
+    fraction, ref: src/PatchFinder.cc:283-296) so resampling is four
+    shifted static slices of the window — no per-pixel gathers. The
+    window margin bounds the total excursion (the reference likewise
+    declares sub-pix "should never travel more than a pixel",
+    src/PatchFinder.cc:249-252).
     """
     N = templates.shape[0]
     P = patch_size
@@ -292,29 +304,22 @@ def subpix_refine(atlas: Array, templates: Array, pos0: Array,
     H = jnp.einsum("nqi,nqj->nij", J, J)
     Hinv = jnp.linalg.inv(H + 1e-9 * jnp.eye(3))
 
-    # Interior-pixel offsets relative to the patch center.
-    ys, xs = jnp.mgrid[1: P - 1, 1: P - 1]
-    off = jnp.stack([(xs - ph).ravel(), (ys - ph).ravel()],
-                    axis=-1).astype(jnp.float32)              # (Q, 2)
-    t_interior = templates[:, 1:-1, 1:-1].reshape(N, -1)      # (N, Q)
+    t_interior = templates[:, 1:-1, 1:-1]                     # (N, P-2, P-2)
 
     Ha, Wa = atlas.shape
-    flat_atlas = atlas.reshape(-1)
+    D = P + 2 * MARGIN + 1      # local window side (+1 for bilinear)
+    # One window per point around the rounded start position.
+    c0 = jnp.round(pos0).astype(jnp.int32)                    # (N, 2) x,y
+    org_x = jnp.clip(c0[:, 0] - ph - MARGIN, 0, Wa - D)
+    org_y = jnp.clip(c0[:, 1] - ph - MARGIN, 0, Ha - D)
 
-    def bilinear(pts):
-        x, y = pts[..., 0], pts[..., 1]
-        x0 = jnp.floor(x).astype(jnp.int32)
-        y0 = jnp.floor(y).astype(jnp.int32)
-        fx, fy = x - x0, y - y0
-        x0c = jnp.clip(x0, 0, Wa - 2)
-        y0c = jnp.clip(y0, 0, Ha - 2)
-        base = y0c * Wa + x0c
-        v00 = jnp.take(flat_atlas, base)
-        v01 = jnp.take(flat_atlas, base + 1)
-        v10 = jnp.take(flat_atlas, base + Wa)
-        v11 = jnp.take(flat_atlas, base + Wa + 1)
-        return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
-                + v10 * (1 - fx) * fy + v11 * fx * fy)
+    def slice_one(oy, ox):
+        return jax.lax.dynamic_slice(atlas, (oy, ox), (D, D))
+
+    win = jax.vmap(slice_one)(org_y, org_x)                   # (N, D, D)
+    origin = jnp.stack([org_x, org_y], -1).astype(jnp.float32)
+
+    Q = P - 2
 
     def body(_, state):
         pos, mean_diff, conv, failed = state
@@ -322,10 +327,29 @@ def subpix_refine(atlas: Array, templates: Array, pos0: Array,
                  (pos[:, 1] - ph - 1 >= bounds[:, 1]) &
                  (pos[:, 0] + ph + 1 <= bounds[:, 2]) &
                  (pos[:, 1] + ph + 1 <= bounds[:, 3]))
-        failed = failed | ~in_im
-        pts = pos[:, None, :] + off[None]                     # (N, Q, 2)
-        cur = bilinear(pts)                                   # (N, Q)
-        diff = cur - t_interior + mean_diff[:, None]
+        # Patch top-left in window coords; interior starts at +1.
+        base = pos - ph - origin                              # (N, 2)
+        ib = jnp.floor(base).astype(jnp.int32)
+        frac = base - ib
+        in_win = ((ib[:, 0] >= 0) & (ib[:, 1] >= 0)
+                  & (ib[:, 0] + P + 1 <= D) & (ib[:, 1] + P + 1 <= D))
+        failed = failed | ~in_im | ~in_win
+        ibc_x = jnp.clip(ib[:, 0], 0, D - P - 1)
+        ibc_y = jnp.clip(ib[:, 1], 0, D - P - 1)
+
+        def grab(w, oy, ox):
+            return jax.lax.dynamic_slice(w, (oy, ox), (P, P))
+
+        S = jax.vmap(grab)(win, ibc_y, ibc_x)                 # (N, P, P)
+        fx = frac[:, 0][:, None, None]
+        fy = frac[:, 1][:, None, None]
+        # Shared-fraction bilinear of the (P-2)x(P-2) interior.
+        cur = ((1 - fx) * (1 - fy) * S[:, 1:Q + 1, 1:Q + 1]
+               + fx * (1 - fy) * S[:, 1:Q + 1, 2:Q + 2]
+               + (1 - fx) * fy * S[:, 2:Q + 2, 1:Q + 1]
+               + fx * fy * S[:, 2:Q + 2, 2:Q + 2])            # (N, Q, Q)
+        diff = (cur - t_interior + mean_diff[:, None, None]) \
+            .reshape(N, -1)
         accum = jnp.einsum("nq,nqi->ni", diff, J)             # (N, 3)
         upd = jnp.einsum("nij,nj->ni", Hinv, accum)
         active = ~(conv | failed)
