@@ -16,6 +16,7 @@ The reference's spacebar-driven init is exposed both as an API
 from __future__ import annotations
 
 import enum
+import threading
 from typing import NamedTuple, Optional
 
 import jax
@@ -52,10 +53,21 @@ class FrameInfo(NamedTuple):
 
 
 class SLAMEngine:
+    """Frame-loop orchestrator.
+
+    ``async_mapping=True`` restores the reference's two-thread
+    parallelism (ref: CVD::Thread mapmaker, include/MapMaker.h:37-38):
+    mapping jobs run on a Python worker thread while tracking continues
+    against the latest published map snapshot. MapState is an immutable
+    pytree, so the snapshot swap is an atomic reference assignment — the
+    no-lock shared-map design without its races.
+    """
+
     def __init__(self, cfg: EngineConfig = EngineConfig(),
                  image_size=None, max_points: int = 2048,
                  max_kfs: int = 16, seed: int = 0,
-                 auto_init_frames: Optional[int] = 6):
+                 auto_init_frames: Optional[int] = 6,
+                 async_mapping: bool = False):
         self.cfg = cfg
         self.image_size = image_size or cfg.camera.image_size
         self.cam = atan.make_camera(cfg.camera.params, self.image_size)
@@ -92,6 +104,56 @@ class SLAMEngine:
         self._reloc = jax.jit(lambda m, sbi: reloclib.attempt_recovery(
             m, sbi, self.cam_params, self._sbi_size,
             cfg.reloc.max_score, cfg.reloc.esm_iterations))
+
+        # --- async mapping thread state ---
+        self.async_mapping = async_mapping
+        self._map_lock = threading.Lock()
+        self._pending_deltas = []          # [(inlier_delta, outlier_delta)]
+        self._map_thread = None
+        self._stop_mapping = threading.Event()
+        self._mapping_wake = threading.Event()
+        if async_mapping:
+            self._map_thread = threading.Thread(
+                target=self._mapping_worker, daemon=True)
+            self._map_thread.start()
+
+    # ------------------------------------------------------------------
+    def _mapping_worker(self):
+        """Background mapping loop (ref: MapMaker::run,
+        src/MapMaker.cc:57-114, minus the flag-polling races)."""
+        while not self._stop_mapping.is_set():
+            if not self._mapping_wake.wait(timeout=0.05):
+                continue
+            self._mapping_wake.clear()
+            try:
+                self._run_mapping_pass()
+            except Exception as e:      # pragma: no cover - diagnostics
+                import traceback
+                traceback.print_exc()
+
+    def _run_mapping_pass(self):
+        mm = self.mapmaker
+        # Merge tracker deltas into the worker's map copy.
+        with self._map_lock:
+            deltas = self._pending_deltas
+            self._pending_deltas = []
+            mm.map = self.map
+        for inl, outl in deltas:
+            mm.map = mm.map._replace(
+                point_inlier=mm.map.point_inlier + inl,
+                point_outlier=mm.map.point_outlier + outl)
+        slot = mm.step(self.newest_kf)
+        # Publish the updated snapshot atomically.
+        with self._map_lock:
+            self.map = mm.map
+            if slot is not None:
+                self.newest_kf = slot
+
+    def close(self):
+        if self._map_thread is not None:
+            self._stop_mapping.set()
+            self._map_thread.join(timeout=5.0)
+            self._map_thread = None
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -189,9 +251,15 @@ class SLAMEngine:
             n_found = int(jnp.sum(res.meas_valid))
 
             # Tracker -> map point inlier/outlier accounting.
-            self.map = self.map._replace(
-                point_inlier=self.map.point_inlier + res.inlier_delta,
-                point_outlier=self.map.point_outlier + res.outlier_delta)
+            if self.async_mapping:
+                with self._map_lock:
+                    self._pending_deltas.append(
+                        (res.inlier_delta, res.outlier_delta))
+            else:
+                self.map = self.map._replace(
+                    point_inlier=self.map.point_inlier + res.inlier_delta,
+                    point_outlier=self.map.point_outlier
+                    + res.outlier_delta)
             # Periodically let bad-point GC look at the new counts.
             if self.frame_idx % 20 == 0:
                 self.mapmaker.mark_dirty()
@@ -211,7 +279,8 @@ class SLAMEngine:
                 meas = dict(point=res.meas_point, pos=res.meas_pos,
                             level=res.meas_level, subpix=res.meas_subpix,
                             valid=res.meas_valid)
-                self.mapmaker.map = self.map
+                if not self.async_mapping:
+                    self.mapmaker.map = self.map
                 # Keyframes need the full build (nonmax + candidates for
                 # epipolar expansion) — MakeKeyFrame_Rest equivalent.
                 kf_features = self._build(im)
@@ -222,12 +291,17 @@ class SLAMEngine:
                 self.frames_since_kf = 0
                 added_kf = True
 
-            # One mapping priority step per frame.
-            self.mapmaker.map = self.map
-            slot = self.mapmaker.step(self.newest_kf)
-            self.map = self.mapmaker.map
-            if slot is not None:
-                self.newest_kf = slot
+            if self.async_mapping:
+                # Nudge the mapping thread; tracking continues on the
+                # latest published snapshot.
+                self._mapping_wake.set()
+            else:
+                # Synchronous: one mapping priority step per frame.
+                self.mapmaker.map = self.map
+                slot = self.mapmaker.step(self.newest_kf)
+                self.map = self.mapmaker.map
+                if slot is not None:
+                    self.newest_kf = slot
 
         self.prev_features = features
         self.frame_idx += 1
