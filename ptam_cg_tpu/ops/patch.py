@@ -190,20 +190,16 @@ def ssd_search(atlas: Array, corner_mask: Array, templates: Array,
     M = 2 * r_win + 1                 # candidate-map side
     Ha, Wa = atlas.shape
 
+    from ptam_cg_tpu.ops.pallas_gather import gather_windows
+
     base = jnp.round(centers).astype(jnp.int32)           # (N, 2) x,y
     origin_x = jnp.clip(base[:, 0] - r_win - ph, 0, Wa - D)
     origin_y = jnp.clip(base[:, 1] - r_win - ph, 0, Ha - D)
 
-    def slice_one(oy, ox):
-        return jax.lax.dynamic_slice(atlas, (oy, ox), (D, D))
-
-    win = jax.vmap(slice_one)(origin_y, origin_x)          # (N, D, D)
-
-    def slice_mask(oy, ox):
-        return jax.lax.dynamic_slice(
-            corner_mask.astype(jnp.float32), (oy + ph, ox + ph), (M, M))
-
-    cmask = jax.vmap(slice_mask)(origin_y, origin_x) > 0.5  # (N, M, M)
+    win = gather_windows(atlas, jnp.stack([origin_y, origin_x], -1), D)
+    cmask = gather_windows(
+        corner_mask.astype(jnp.float32),
+        jnp.stack([origin_y + ph, origin_x + ph], -1), M) > 0.5
 
     # Sliding sums of image and image^2 (integral images).
     SA_t = jnp.sum(templates, axis=(-2, -1))               # template sum
@@ -313,10 +309,8 @@ def subpix_refine(atlas: Array, templates: Array, pos0: Array,
     org_x = jnp.clip(c0[:, 0] - ph - MARGIN, 0, Wa - D)
     org_y = jnp.clip(c0[:, 1] - ph - MARGIN, 0, Ha - D)
 
-    def slice_one(oy, ox):
-        return jax.lax.dynamic_slice(atlas, (oy, ox), (D, D))
-
-    win = jax.vmap(slice_one)(org_y, org_x)                   # (N, D, D)
+    from ptam_cg_tpu.ops.pallas_gather import gather_windows
+    win = gather_windows(atlas, jnp.stack([org_y, org_x], -1), D)
     origin = jnp.stack([org_x, org_y], -1).astype(jnp.float32)
 
     Q = P - 2
@@ -337,17 +331,35 @@ def subpix_refine(atlas: Array, templates: Array, pos0: Array,
         ibc_x = jnp.clip(ib[:, 0], 0, D - P - 1)
         ibc_y = jnp.clip(ib[:, 1], 0, D - P - 1)
 
-        def grab(w, oy, ox):
-            return jax.lax.dynamic_slice(w, (oy, ox), (P, P))
-
-        S = jax.vmap(grab)(win, ibc_y, ibc_x)                 # (N, P, P)
+        # Per-point integer re-basing WITHOUT dynamic slicing:
+        # vmapped dynamic_slice lowers to a sequential while loop on TPU
+        # (9216 serial slices per frame!). The integer base lives in a
+        # tiny [0, 2*MARGIN]^2 range, so select it with a one-hot blend
+        # over all (2*MARGIN+1)^2 static shifts — pure VPU work.
+        n_off = 2 * MARGIN + 1
+        Sq = Q + 1
+        oy_oh = jax.nn.one_hot(ibc_y, n_off, dtype=win.dtype)  # (N, n_off)
+        ox_oh = jax.nn.one_hot(ibc_x, n_off, dtype=win.dtype)
+        base_blend = jnp.zeros((N, Sq + 1, Sq + 1), win.dtype)
+        for oy in range(n_off):
+            wy = oy_oh[:, oy][:, None, None]
+            row_acc = jnp.zeros((N, Sq + 1, Sq + 1), win.dtype)
+            for ox in range(n_off):
+                wx = ox_oh[:, ox][:, None, None]
+                row_acc = row_acc + wx * jax.lax.slice(
+                    win, (0, oy + 1, ox + 1),
+                    (N, oy + 1 + Sq + 1, ox + 1 + Sq + 1))
+            base_blend = base_blend + wy * row_acc
+        S1 = base_blend                                        # (N, Q+2, Q+2)
         fx = frac[:, 0][:, None, None]
         fy = frac[:, 1][:, None, None]
-        # Shared-fraction bilinear of the (P-2)x(P-2) interior.
-        cur = ((1 - fx) * (1 - fy) * S[:, 1:Q + 1, 1:Q + 1]
-               + fx * (1 - fy) * S[:, 1:Q + 1, 2:Q + 2]
-               + (1 - fx) * fy * S[:, 2:Q + 2, 1:Q + 1]
-               + fx * fy * S[:, 2:Q + 2, 2:Q + 2])            # (N, Q, Q)
+        # Shared-fraction bilinear of the (P-2)x(P-2) interior: S1 holds
+        # win[ib + 1 + (0..Q, 0..Q)] so interior sample (i, j) blends
+        # S1[i, j], S1[i, j+1], S1[i+1, j], S1[i+1, j+1].
+        cur = ((1 - fx) * (1 - fy) * S1[:, :Q, :Q]
+               + fx * (1 - fy) * S1[:, :Q, 1:Q + 1]
+               + (1 - fx) * fy * S1[:, 1:Q + 1, :Q]
+               + fx * fy * S1[:, 1:Q + 1, 1:Q + 1])           # (N, Q, Q)
         diff = (cur - t_interior + mean_diff[:, None, None]) \
             .reshape(N, -1)
         accum = jnp.einsum("nq,nqi->ni", diff, J)             # (N, 3)

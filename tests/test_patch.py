@@ -196,3 +196,15 @@ def test_subpix_jit_compiles():
         a, t, p, jnp.array([[0.0, 0.0, 64.0, 64.0]])))
     res = fn(im, tmpl, jnp.array([[32.0, 32.0]]))
     assert res.pos.shape == (1, 2)
+
+
+def test_pallas_gather_windows_interpret_parity():
+    from ptam_cg_tpu.ops import pallas_gather as pg
+    atlas = jnp.asarray(rng(11).uniform(0, 255, (96, 128))
+                        .astype(np.float32))
+    origins = jnp.asarray(
+        rng(12).integers(0, 80, (16, 2)).astype(np.int32))
+    ref = jax.vmap(lambda o: jax.lax.dynamic_slice(
+        atlas, (o[0], o[1]), (12, 12)))(origins)
+    got = pg.gather_windows_pallas(atlas, origins, 12, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
