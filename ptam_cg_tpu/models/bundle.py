@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ptam_cg_tpu.camera import atan
+from ptam_cg_tpu.ops import patch as patchops
 from ptam_cg_tpu.config import BundleConfig
 from ptam_cg_tpu.utils import mest
 from ptam_cg_tpu.utils import se3 as se3lib
@@ -172,7 +173,7 @@ def lm_step(state: LMState, cam: atan.Camera,
         # (ref: src/Bundle.cc:341-359; zero if V is rank-deficient).
         Vstar = V * (jnp.ones((3, 3)) + lam * jnp.eye(3))
         diag_prod = V[:, 0, 0] * V[:, 1, 1] * V[:, 2, 2]
-        Vinv = jnp.linalg.inv(Vstar + 1e-12 * jnp.eye(3))
+        Vinv = patchops.inv3x3(Vstar + 1e-12 * jnp.eye(3))
         Vinv = jnp.where((diag_prod == 0.0)[:, None, None], 0.0, Vinv)
 
         # S diag + off-diag in one shot: S = U* - sum_p W V^-1 W^T.

@@ -78,6 +78,25 @@ def search_level_and_warp(p_cam: Array, R_cw: Array, pixel_right_w: Array,
     return WarpResult(warp_inv=warp_inv, level=level, good=good)
 
 
+def inv3x3(m: Array) -> Array:
+    """Batched closed-form (adjugate) 3x3 inverse — avoids the LU
+    custom-call for the tiny systems in subpix/BA."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
 def inv2x2(m: Array) -> Array:
     """Batched 2x2 inverse (ref: cg::Tools::M2Inverse, include/Tools.h:54-66)."""
     a, b = m[..., 0, 0], m[..., 0, 1]
@@ -298,7 +317,7 @@ def subpix_refine(atlas: Array, templates: Array, pos0: Array,
     ones = jnp.ones_like(gx)
     J = jnp.stack([gx, gy, ones], axis=-1).reshape(N, -1, 3)  # (N, Q, 3)
     H = jnp.einsum("nqi,nqj->nij", J, J)
-    Hinv = jnp.linalg.inv(H + 1e-9 * jnp.eye(3))
+    Hinv = inv3x3(H + 1e-9 * jnp.eye(3))
 
     t_interior = templates[:, 1:-1, 1:-1]                     # (N, P-2, P-2)
 

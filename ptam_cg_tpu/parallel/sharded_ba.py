@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ptam_cg_tpu.camera import atan
+from ptam_cg_tpu.ops import patch as patchops
 from ptam_cg_tpu.config import BundleConfig
 from ptam_cg_tpu.models import bundle as bundlelib
 from ptam_cg_tpu.models.bundle import BundleProblem, LMState
@@ -152,7 +153,7 @@ def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
             lam, lam_factor, _, _, _, n_inner, _c = carry
             Vstar = V * (jnp.ones((3, 3)) + lam * jnp.eye(3))
             diag_prod = V[:, 0, 0] * V[:, 1, 1] * V[:, 2, 2]
-            Vinv = jnp.linalg.inv(Vstar + 1e-12 * jnp.eye(3))
+            Vinv = patchops.inv3x3(Vstar + 1e-12 * jnp.eye(3))
             Vinv = jnp.where((diag_prod == 0.0)[:, None, None], 0.0, Vinv)
             WV = jnp.einsum("pcab,pbd->pcad", Wfull, Vinv)
             S_off = jnp.einsum("pjad,pkbd->jakb", WV, Wfull)
