@@ -100,7 +100,7 @@ def main():
 
     state = tracker.init_tracker_state(pose0)
     frames = [seq.frame(i) for i in range(1, 8)]
-    prev_sbi = ff0.sbi
+    prev_sbi = ff0.sbi_track
 
     # Warmup / compile. Two rounds: the second call's state comes from
     # the first call's OUTPUT, whose (non-weak) dtypes differ from the
@@ -108,7 +108,8 @@ def main():
     # recompile.
     ffw = build_step(frames[0])
     outw = track_step(state, m, ffw, prev_sbi, jax.random.PRNGKey(0))
-    outw2 = track_step(outw.state, m, ffw, ffw.sbi, jax.random.PRNGKey(1))
+    outw2 = track_step(outw.state, m, ffw, ffw.sbi_track,
+                       jax.random.PRNGKey(1))
     nf = jnp.sum(outw2.result.meas_valid)
     nf.block_until_ready()
     n_found = int(nf)
@@ -123,7 +124,7 @@ def main():
         ff = build_step(frames[i % len(frames)])
         out = track_step(st, m, ff, sbi, jax.random.PRNGKey(i))
         st = out.state
-        sbi = ff.sbi
+        sbi = ff.sbi_track
     st.pose.t.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt

@@ -245,7 +245,7 @@ class SLAMEngine:
                     relocalized = True
 
             out = self._track(st, self.map, features,
-                              self.prev_features.sbi, self._next_key())
+                              self.prev_features.sbi_track, self._next_key())
             self.tracker_state = out.state
             res = out.result
             n_found = int(jnp.sum(res.meas_valid))

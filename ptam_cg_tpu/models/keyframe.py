@@ -49,7 +49,11 @@ class FrameFeatures(NamedTuple):
     cand_xy: Array          # (LEVELS, CAND_CAP, 2) int32 level coords
     cand_score: Array       # (LEVELS, CAND_CAP) float32 Shi-Tomasi
     cand_valid: Array       # (LEVELS, CAND_CAP) bool
-    sbi: sbiops.SBI         # template (30,40) + jac
+    #: Relocalizer SBI, blur 2.5 (ref: KeyFrame pSBI, src/KeyFrame.cc:81).
+    sbi: sbiops.SBI
+    #: Rotation-estimator SBI, blur Tracker.RotationEstimatorBlur = 0.75
+    #: (ref: src/Tracker.cc:98-108 mpSBIThisFrame).
+    sbi_track: sbiops.SBI
 
 
 def make_frame_lite(im: Array,
@@ -115,19 +119,23 @@ def make_frame_rest(pyramid: Tuple[Array, ...], scores: Tuple[Array, ...],
 
 def build_frame(im: Array, cfg: FrontendConfig = FrontendConfig(),
                 candidate_min_score: float = 400.0,
-                sbi_blur: float = 2.5) -> FrameFeatures:
+                sbi_blur: float = 2.5,
+                track_blur: float = 0.75) -> FrameFeatures:
     """Full frame build (Lite + Rest)."""
     pyramid, atlas, corner_mask, scores, counts = make_frame_lite(im, cfg)
     (mx, ms, mv), (cx, cs, cv), the_sbi = make_frame_rest(
         pyramid, scores, True, cfg, candidate_min_score, sbi_blur)
+    sbi_track = sbiops.make_sbi(pyramid[3], track_blur)
     return FrameFeatures(
         atlas=atlas, corner_mask=corner_mask, corner_count=counts,
         max_xy=mx, max_score=ms, max_valid=mv,
-        cand_xy=cx, cand_score=cs, cand_valid=cv, sbi=the_sbi)
+        cand_xy=cx, cand_score=cs, cand_valid=cv, sbi=the_sbi,
+        sbi_track=sbi_track)
 
 
 def build_frame_tracking(im: Array, cfg: FrontendConfig = FrontendConfig(),
-                         sbi_blur: float = 2.5) -> FrameFeatures:
+                         sbi_blur: float = 2.5,
+                         track_blur: float = 0.75) -> FrameFeatures:
     """Per-frame tracking build: pyramid atlas + corner mask + SBI ONLY.
 
     The reference runs MakeKeyFrame_Rest (nonmax, Shi-Tomasi candidates)
@@ -138,6 +146,7 @@ def build_frame_tracking(im: Array, cfg: FrontendConfig = FrontendConfig(),
     """
     pyramid, atlas, corner_mask, scores, counts = make_frame_lite(im, cfg)
     the_sbi = sbiops.make_sbi(pyramid[3], sbi_blur)
+    sbi_track = sbiops.make_sbi(pyramid[3], track_blur)
     z_i = jnp.zeros((LEVELS, NONMAX_CAP, 2), jnp.int32)
     z_f = jnp.zeros((LEVELS, NONMAX_CAP), jnp.float32)
     z_b = jnp.zeros((LEVELS, NONMAX_CAP), bool)
@@ -147,4 +156,5 @@ def build_frame_tracking(im: Array, cfg: FrontendConfig = FrontendConfig(),
     return FrameFeatures(
         atlas=atlas, corner_mask=corner_mask, corner_count=counts,
         max_xy=z_i, max_score=z_f, max_valid=z_b,
-        cand_xy=c_i, cand_score=c_f, cand_valid=c_b, sbi=the_sbi)
+        cand_xy=c_i, cand_score=c_f, cand_valid=c_b, sbi=the_sbi,
+        sbi_track=sbi_track)

@@ -273,14 +273,15 @@ def refind_in_kf(m: MapState, k, point_mask: Array, cam: atan.Camera,
                                  H, W)
     radius = jnp.ceil(range_l0 / scale)
     bounds = jnp.stack(levelops.level_bounds(level, H, W), axis=-1)
-    res = patchops.ssd_search(
+    res, win, win_origin = patchops.ssd_search(
         m.kf_atlas[k], m.kf_corner_mask[k], templates, centers, radius,
-        bounds, r_win=4, max_ssd=MAX_SSD)
+        bounds, r_win=4, max_ssd=MAX_SSD, return_windows=True)
     found = searchable & res.found
 
     # Subpix for level > 0 (ref: :997-1008).
     sp = patchops.subpix_refine(m.kf_atlas[k], templates, res.pos, bounds,
-                                max_its=8)
+                                max_its=8, windows=win,
+                                win_origin=win_origin)
     use_sp = found & (level > 0)
     pos_atlas = jnp.where(use_sp[:, None], sp.pos, res.pos)
     offs = jnp.asarray([[c, r] for (r, c) in levelops.level_offsets(H, W)],

@@ -165,16 +165,18 @@ def _search_subset(m: MapState, frame: FrameFeatures, pose: SE3,
     cb = levelops.level_bounds(level, H, W)
     bounds = jnp.stack(cb, axis=-1)
 
-    res = patchops.ssd_search(
+    res, win, win_origin = patchops.ssd_search(
         frame.atlas, frame.corner_mask, templates, centers, radius, bounds,
-        r_win=R_WIN, max_ssd=MAX_SSD)
+        r_win=R_WIN, max_ssd=MAX_SSD, return_windows=True)
     found = attempted & res.found
 
     pos_atlas = res.pos
     subpix_done = jnp.zeros_like(found)
     if subpix_its > 0:
+        # Reuse the search windows — the best candidate lies inside them.
         ref = patchops.subpix_refine(frame.atlas, templates, res.pos,
-                                     bounds, max_its=subpix_its)
+                                     bounds, max_its=subpix_its,
+                                     windows=win, win_origin=win_origin)
         if subpix_level3_only:
             use = found & (level == LEVELS - 1)
         else:
@@ -423,7 +425,7 @@ def track_frame(state: TrackerState, m: MapState, frame: FrameFeatures,
     start_pose = state.pose
     vel = state.velocity
     if cfg.use_rotation_estimator:
-        rot, score = sbiops.calc_sbi_rotation(frame.sbi, prev_sbi,
+        rot, score = sbiops.calc_sbi_rotation(frame.sbi_track, prev_sbi,
                                               cam_params, sbi_size, 10)
         rotvec = se3lib.so3_log(rot.R)
         vel = jnp.concatenate([

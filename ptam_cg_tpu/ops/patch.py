@@ -190,7 +190,8 @@ def ssd_search(atlas: Array, corner_mask: Array, templates: Array,
                centers: Array, radius: Array, bounds: Array, *,
                r_win: int, max_ssd: float, zero_mean: bool = True,
                require_corner: bool = True,
-               patch_size: int = PATCH_SIZE) -> SearchResult:
+               patch_size: int = PATCH_SIZE,
+               return_windows: bool = False):
     """Batched windowed (ZM)SSD search.
 
     atlas: (Ha, Wa) current-frame pyramid atlas; corner_mask: (Ha, Wa)
@@ -272,7 +273,11 @@ def ssd_search(atlas: Array, corner_mask: Array, templates: Array,
                              axis=-1)[:, 0]
     found = best_ssd < max_ssd
     pos = jnp.stack([bx, by], axis=-1).astype(jnp.float32)
-    return SearchResult(pos=pos, ssd=best_ssd, found=found)
+    result = SearchResult(pos=pos, ssd=best_ssd, found=found)
+    if return_windows:
+        origin = jnp.stack([origin_x, origin_y], -1).astype(jnp.float32)
+        return result, win, origin
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -290,7 +295,9 @@ MARGIN = 3      # subpix excursion allowance in the local window (px)
 def subpix_refine(atlas: Array, templates: Array, pos0: Array,
                   bounds: Array, *, max_its: int = 10,
                   conv_limit: float = 0.03,
-                  patch_size: int = PATCH_SIZE) -> SubPixResult:
+                  patch_size: int = PATCH_SIZE,
+                  windows: Array | None = None,
+                  win_origin: Array | None = None) -> SubPixResult:
     """Batched inverse-composition alignment
     (ref: MakeSubPixTemplate + IterateSubPix, src/PatchFinder.cc:219-318).
 
@@ -322,15 +329,21 @@ def subpix_refine(atlas: Array, templates: Array, pos0: Array,
     t_interior = templates[:, 1:-1, 1:-1]                     # (N, P-2, P-2)
 
     Ha, Wa = atlas.shape
-    D = P + 2 * MARGIN + 1      # local window side (+1 for bilinear)
-    # One window per point around the rounded start position.
-    c0 = jnp.round(pos0).astype(jnp.int32)                    # (N, 2) x,y
-    org_x = jnp.clip(c0[:, 0] - ph - MARGIN, 0, Wa - D)
-    org_y = jnp.clip(c0[:, 1] - ph - MARGIN, 0, Ha - D)
-
-    from ptam_cg_tpu.ops.pallas_gather import gather_windows
-    win = gather_windows(atlas, jnp.stack([org_y, org_x], -1), D)
-    origin = jnp.stack([org_x, org_y], -1).astype(jnp.float32)
+    if windows is not None:
+        # Reuse caller-provided windows (e.g. the ZMSSD search windows —
+        # the best candidate always lies inside them).
+        win = windows
+        D = win.shape[-1]
+        origin = jnp.asarray(win_origin, jnp.float32)
+    else:
+        D = P + 2 * MARGIN + 1  # local window side (+1 for bilinear)
+        # One window per point around the rounded start position.
+        c0 = jnp.round(pos0).astype(jnp.int32)                # (N, 2) x,y
+        org_x = jnp.clip(c0[:, 0] - ph - MARGIN, 0, Wa - D)
+        org_y = jnp.clip(c0[:, 1] - ph - MARGIN, 0, Ha - D)
+        from ptam_cg_tpu.ops.pallas_gather import gather_windows
+        win = gather_windows(atlas, jnp.stack([org_y, org_x], -1), D)
+        origin = jnp.stack([org_x, org_y], -1).astype(jnp.float32)
 
     Q = P - 2
 
@@ -352,24 +365,21 @@ def subpix_refine(atlas: Array, templates: Array, pos0: Array,
 
         # Per-point integer re-basing WITHOUT dynamic slicing:
         # vmapped dynamic_slice lowers to a sequential while loop on TPU
-        # (9216 serial slices per frame!). The integer base lives in a
-        # tiny [0, 2*MARGIN]^2 range, so select it with a one-hot blend
-        # over all (2*MARGIN+1)^2 static shifts — pure VPU work.
-        n_off = 2 * MARGIN + 1
+        # (9216 serial slices per frame!). The integer base is bounded by
+        # the window, so select it with a SEPARABLE one-hot blend over
+        # static shifts — pure VPU work, rows then columns.
+        n_off = D - P
         Sq = Q + 1
         oy_oh = jax.nn.one_hot(ibc_y, n_off, dtype=win.dtype)  # (N, n_off)
         ox_oh = jax.nn.one_hot(ibc_x, n_off, dtype=win.dtype)
-        base_blend = jnp.zeros((N, Sq + 1, Sq + 1), win.dtype)
+        rows = jnp.zeros((N, Sq + 1, D), win.dtype)
         for oy in range(n_off):
-            wy = oy_oh[:, oy][:, None, None]
-            row_acc = jnp.zeros((N, Sq + 1, Sq + 1), win.dtype)
-            for ox in range(n_off):
-                wx = ox_oh[:, ox][:, None, None]
-                row_acc = row_acc + wx * jax.lax.slice(
-                    win, (0, oy + 1, ox + 1),
-                    (N, oy + 1 + Sq + 1, ox + 1 + Sq + 1))
-            base_blend = base_blend + wy * row_acc
-        S1 = base_blend                                        # (N, Q+2, Q+2)
+            rows = rows + oy_oh[:, oy][:, None, None] * jax.lax.slice(
+                win, (0, oy + 1, 0), (N, oy + 1 + Sq + 1, D))
+        S1 = jnp.zeros((N, Sq + 1, Sq + 1), win.dtype)
+        for ox in range(n_off):
+            S1 = S1 + ox_oh[:, ox][:, None, None] * jax.lax.slice(
+                rows, (0, 0, ox + 1), (N, Sq + 1, ox + 1 + Sq + 1))
         fx = frac[:, 0][:, None, None]
         fy = frac[:, 1][:, None, None]
         # Shared-fraction bilinear of the (P-2)x(P-2) interior: S1 holds

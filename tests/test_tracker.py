@@ -135,7 +135,7 @@ def test_track_frame_full_step(setup):
     frame1 = keyframe.build_frame(seq.frame(1), candidate_min_score=100.0)
     state = tracker.init_tracker_state(seq.pose(0))
     out = tracker.track_frame(
-        state, m, frame1, ff0.sbi, cam, SIZE,
+        state, m, frame1, ff0.sbi_track, cam, SIZE,
         jnp.asarray(REF_PARAMS, jnp.float32), jax.random.PRNGKey(2))
     r, t = pose_errors(out.state.pose, gt1)
     assert r < 0.01, r
@@ -151,7 +151,7 @@ def test_track_sequence_accumulates_ate(setup):
     bounded (the minimal end-to-end slice of BASELINE config 1)."""
     seq, cam, m, ff0 = setup
     state = tracker.init_tracker_state(seq.pose(0))
-    prev_sbi = ff0.sbi
+    prev_sbi = ff0.sbi_track
     step = jax.jit(lambda s, f, ps, k: tracker.track_frame(
         s, m, f, ps, cam, SIZE, jnp.asarray(REF_PARAMS, jnp.float32), k))
     errs = []
@@ -159,7 +159,7 @@ def test_track_sequence_accumulates_ate(setup):
         ff = keyframe.build_frame(seq.frame(i), candidate_min_score=100.0)
         out = step(state, ff, prev_sbi, jax.random.PRNGKey(i))
         state = out.state
-        prev_sbi = ff.sbi
+        prev_sbi = ff.sbi_track
         r, t = pose_errors(state.pose, seq.pose(i))
         errs.append(t)
     ate = float(np.sqrt(np.mean(np.square(errs))))
