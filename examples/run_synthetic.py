@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--seed", type=int, default=5)
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a JAX profiler trace (XPlane) to DIR")
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="run mapping jobs on a background thread")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +49,8 @@ def main():
         mapmaker=MapMakerConfig(candidate_min_shi_tomasi_score=70.0))
     eng = engine_lib.SLAMEngine(cfg, image_size=size, max_points=2048,
                                 max_kfs=12, auto_init_frames=6,
-                                seed=args.seed)
+                                seed=args.seed,
+                                async_mapping=args.async_mapping)
     est, gt, times = [], [], []
     prof = None
     for i in range(args.frames):
@@ -79,7 +82,9 @@ def main():
         print(f"\nATE RMSE: {ate*1000:.1f} mm over a {span:.2f} m "
               f"trajectory ({len(est)} tracked frames)")
         print(f"median frame time: {np.median(times)*1000:.0f} ms")
+        eng.close()
     else:
+        eng.close()
         print("\nFAILED: tracking never started")
         sys.exit(1)
 

@@ -150,10 +150,19 @@ class SLAMEngine:
                 self.newest_kf = slot
 
     def close(self):
+        """Stop the mapping thread. MUST be called before interpreter
+        shutdown in async mode: a daemon thread killed mid-XLA-dispatch
+        aborts the process."""
         if self._map_thread is not None:
             self._stop_mapping.set()
-            self._map_thread.join(timeout=5.0)
+            self._map_thread.join(timeout=10.0)
             self._map_thread = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
     def _next_key(self):
