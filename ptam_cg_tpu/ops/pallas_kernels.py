@@ -1,13 +1,17 @@
-"""Pallas TPU kernels for the frontend's hot stencil ops.
+"""Pallas TPU kernels for the frontend stencil ops (EXPERIMENTAL).
 
-The XLA formulation of FAST-10 (ops/fast.py) materializes ~25 shifted
-copies of the image through HBM; this kernel keeps the whole level in
-VMEM and runs the segment test in one pass (HBM traffic = 1 read + 2
-writes). Used automatically on TPU backends; the XLA path remains the
-reference implementation (and the CPU/interpret fallback).
+Interpret-mode-validated implementations of FAST-10 and Shi-Tomasi as
+single-pass VMEM kernels. NOT yet wired into the production path:
 
-Kernel strategy: one grid step per image (whole level fits VMEM:
-640x480 f32 = 1.2 MB), row-shifts done on the in-register value.
+- Mosaic (this jax version) lowers neither ``dynamic_update_slice`` nor
+  ``dynamic_slice`` on values — use ``jnp.pad`` + static ``lax.slice``.
+- The one-grid-step whole-image strategy OOMs scoped VMEM (Mosaic
+  materializes every shifted copy: ~121 MB for 480x640): a production
+  version needs a row-band grid with halo handling (overlapping block
+  reads), which plain BlockSpecs do not express — use manual DMA from
+  an ANY-space input.
+- Meanwhile XLA's fused stencil for FAST measures fast enough that the
+  frontend's cost is distributed elsewhere (see CLAUDE.md profile).
 """
 
 from __future__ import annotations
@@ -32,7 +36,10 @@ def _fast_kernel(threshold: float, im_ref, corner_ref, score_ref):
     p = jnp.pad(im, ((pad, pad), (pad, pad)))
 
     def shifted(dx, dy):
-        return jax.lax.dynamic_slice(p, (pad + dy, pad + dx), (H, W))
+        # Static offsets -> lax.slice (dynamic_slice is not lowered
+        # by this Mosaic version).
+        return jax.lax.slice(p, (pad + dy, pad + dx),
+                             (pad + dy + H, pad + dx + W))
 
     center = im
     hi = center + threshold
@@ -88,7 +95,8 @@ def _shi_tomasi_kernel(half_box: int, im_ref, out_ref):
     p = jnp.pad(im, ((pad, pad), (pad, pad)))
 
     def sh(dx, dy):
-        return jax.lax.dynamic_slice(p, (pad + dy, pad + dx), (H, W))
+        return jax.lax.slice(p, (pad + dy, pad + dx),
+                             (pad + dy + H, pad + dx + W))
 
     gx = sh(1, 0) - sh(-1, 0)
     gy = sh(0, 1) - sh(0, -1)
@@ -98,8 +106,8 @@ def _shi_tomasi_kernel(half_box: int, im_ref, out_ref):
         acc = jnp.zeros((H, W), im.dtype)
         for dy in range(-half_box, half_box + 1):
             for dx in range(-half_box, half_box + 1):
-                acc = acc + jax.lax.dynamic_slice(
-                    q, (pad + dy, pad + dx), (H, W))
+                acc = acc + jax.lax.slice(
+                    q, (pad + dy, pad + dx), (pad + dy + H, pad + dx + W))
         return acc
 
     dxx = box(gx * gx)
