@@ -1,0 +1,145 @@
+"""One-off: capture an XPlane/chrome trace of the tracking step and print
+the top device ops by total time."""
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+LOGDIR = "/tmp/trace_track"
+
+
+def capture():
+    import jax
+    import jax.numpy as jnp
+
+    from ptam_cg_tpu.camera import atan
+    from ptam_cg_tpu.config import EngineConfig
+    from ptam_cg_tpu.io import synth
+    from ptam_cg_tpu.models import keyframe, map_state, tracker
+    from ptam_cg_tpu.utils import se3 as se3lib
+
+    size = (640, 480)
+    params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
+    seq = synth.SyntheticSequence(params, image_size=size, n_frames=8,
+                                  seed=7, height=1.5, radius=0.2,
+                                  sweep=0.6)
+    cam = seq.cam
+    f0 = seq.frame(0)
+    ff0 = jax.jit(lambda x: keyframe.build_frame(
+        x, candidate_min_score=50.0))(f0)
+    pose0 = seq.pose(0)
+    T_wc = se3lib.inv(pose0)
+
+    P = 2048
+    m = map_state.empty_map(size, max_points=P, max_kfs=4)
+    m = map_state.insert_keyframe(m, 0, ff0, pose0, 1.5, 0.1)
+    cand_xy = np.asarray(ff0.cand_xy)
+    cand_valid = np.asarray(ff0.cand_valid)
+    pts, centers, lvls = [], [], []
+    for lev in range(4):
+        xy = cand_xy[lev][cand_valid[lev]]
+        for (x, y) in xy:
+            p0 = (np.array([x, y], np.float64) + 0.5) * (1 << lev) - 0.5
+            z1 = np.asarray(atan.unproject(
+                jnp.asarray(p0, jnp.float32), cam))
+            ray = np.asarray(T_wc.R) @ np.array([z1[0], z1[1], 1.0])
+            origin = np.asarray(T_wc.t)
+            s = -origin[2] / ray[2]
+            if s <= 0:
+                continue
+            pts.append(origin + s * ray)
+            centers.append([x, y])
+            lvls.append(lev)
+            if len(pts) >= P:
+                break
+        if len(pts) >= P:
+            break
+    n = len(pts)
+    pos = np.zeros((P, 3), np.float32)
+    pos[:n] = np.stack(pts)
+    ctr = np.zeros((P, 2), np.float32)
+    ctr[:n] = np.stack(centers)
+    lv = np.zeros(P, np.int32)
+    lv[:n] = np.array(lvls)
+    c_nc, r_nc, d_nc, nrm = map_state.make_point_rays(
+        jnp.asarray(ctr), jnp.asarray(lv), pose0, cam, size)
+    m = m._replace(
+        point_pos=jnp.asarray(pos),
+        point_valid=jnp.asarray(np.arange(P) < n),
+        point_src_level=jnp.asarray(lv), point_center=jnp.asarray(ctr),
+        point_center_nc=c_nc, point_right_nc=r_nc, point_down_nc=d_nc,
+        point_normal_nc=nrm, good=jnp.asarray(True))
+    m = map_state.refresh_pixel_vectors(m)
+
+    cfg = EngineConfig()
+    cam_params = jnp.asarray(params, jnp.float32)
+    build_step = jax.jit(
+        lambda im: keyframe.build_frame_tracking(im, cfg.frontend))
+    track_step = jax.jit(
+        lambda s, m_, ff, ps, k: tracker.track_frame(
+            s, m_, ff, ps, cam, size, cam_params, k, cfg.tracker))
+
+    state = tracker.init_tracker_state(pose0)
+    frames = [jax.device_put(seq.frame(i)) for i in range(1, 8)]
+    ffs = [build_step(f) for f in frames]
+    jax.block_until_ready(ffs)
+    prev_sbi = ff0.sbi_track
+    out = track_step(state, m, ffs[0], prev_sbi, jax.random.PRNGKey(0))
+    out = track_step(out.state, m, ffs[0], prev_sbi, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    st = out.state
+
+    jax.profiler.start_trace(LOGDIR)
+    for i in range(10):
+        ff = build_step(frames[i % len(frames)])
+        o = track_step(st, m, ff, prev_sbi, jax.random.PRNGKey(i))
+        st = o.state
+    st.pose.t.block_until_ready()
+    jax.profiler.stop_trace()
+    print("trace captured")
+
+
+def report():
+    files = sorted(glob.glob(LOGDIR + "/**/*.trace.json.gz",
+                             recursive=True))
+    if not files:
+        print("no trace files under", LOGDIR)
+        return
+    with gzip.open(files[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # Find device lanes (TPU core threads).
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, nm in pid_names.items()
+                if "TPU" in nm or "/device" in nm.lower()}
+    tot = defaultdict(float)
+    cnt = defaultdict(int)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "?")
+        dur = float(e.get("dur", 0.0))
+        tot[name] += dur
+        cnt[name] += 1
+        total += dur
+    print(f"device lanes: {[pid_names[p] for p in dev_pids]}")
+    print(f"total device time: {total/1e3:.2f} ms over 10 frames")
+    for name, d in sorted(tot.items(), key=lambda kv: -kv[1])[:45]:
+        print(f"{d/1e3:9.3f} ms  x{cnt[name]:5d}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "report":
+        report()
+    else:
+        capture()
+        report()

@@ -56,6 +56,107 @@ def gather_windows_pallas(atlas: Array, origin_yx: Array, D: int,
     )(origin_yx, atlas)
 
 
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _aligned_block_kernel(B: int, R: int, C: int,
+                          origins_ref, atlas_ref, out_ref, sems):
+    i = pl.program_id(0)
+    for b in range(B):
+        ay = origins_ref[i * B + b, 0]
+        ax = origins_ref[i * B + b, 1]
+        pltpu.make_async_copy(
+            atlas_ref.at[pl.ds(ay, R), pl.ds(ax, C)],
+            out_ref.at[b], sems.at[b]).start()
+    for b in range(B):
+        pltpu.make_async_copy(
+            atlas_ref.at[pl.ds(0, R), pl.ds(0, C)],
+            out_ref.at[b], sems.at[b]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("D", "block", "interpret"))
+def gather_windows_aligned(atlas: Array, origin_yx: Array, D: int,
+                           block: int = 8,
+                           interpret: bool = False) -> Array:
+    """Per-point windows via TILE-ALIGNED HBM DMA + one-hot shift matmuls.
+
+    Mosaic only lowers HBM `memref_slice` DMAs whose offsets are
+    tile-aligned ((8, 128) for f32). So each point DMAs the enclosing
+    aligned block (R, C) ⊇ (D, D), with ``block`` DMAs in flight per grid
+    step, and the residual (sub-tile) shift is applied OUTSIDE the kernel
+    as two batched one-hot matmuls on the MXU — the same separable
+    selection trick as subpix re-basing, but as dots instead of FMA loops.
+    """
+    N = origin_yx.shape[0]
+    Ha, Wa = atlas.shape
+    R = _round_up(D + 7, 8)
+    C = _round_up(D + 127, 128)
+    # Pad the atlas so aligned blocks always fit.
+    pad_h = _round_up(max(Ha, R), 8) - Ha
+    pad_w = _round_up(max(Wa, C), 128) - Wa
+    if pad_h or pad_w:
+        atlas = jnp.pad(atlas, ((0, pad_h), (0, pad_w)))
+        Ha, Wa = atlas.shape
+    # Pad N to a multiple of block.
+    Np = _round_up(max(N, 1), block)
+    oy = jnp.clip(origin_yx[:, 0], 0, Ha - D)
+    ox = jnp.clip(origin_yx[:, 1], 0, Wa - D)
+    if Np != N:
+        oy = jnp.concatenate([oy, jnp.zeros(Np - N, oy.dtype)])
+        ox = jnp.concatenate([ox, jnp.zeros(Np - N, ox.dtype)])
+    ay = jnp.minimum((oy // 8) * 8, Ha - R)
+    ax = jnp.minimum((ox // 128) * 128, Wa - C)
+    ry = oy - ay                     # in [0, R - D]
+    rx = ox - ax                     # in [0, C - D]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Np // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((block, R, C),
+                               lambda i, origins: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((block,))],
+    )
+    blocks = pl.pallas_call(
+        functools.partial(_aligned_block_kernel, block, R, C),
+        out_shape=jax.ShapeDtypeStruct((Np, R, C), atlas.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.stack([ay, ax], -1), atlas)
+
+    # Residual shifts as batched one-hot dots (MXU work).
+    ii = jnp.arange(D, dtype=jnp.int32)
+    rsel = (ry[:, None, None] + ii[None, :, None]
+            == jnp.arange(R, dtype=jnp.int32)[None, None, :])
+    rows = jnp.einsum("nir,nrc->nic", rsel.astype(atlas.dtype), blocks,
+                      preferred_element_type=jnp.float32)
+    csel = (rx[:, None, None] + ii[None, None, :]
+            == jnp.arange(C, dtype=jnp.int32)[None, :, None])
+    win = jnp.einsum("nic,ncj->nij", rows, csel.astype(atlas.dtype),
+                     preferred_element_type=jnp.float32)
+    return win[:N].astype(atlas.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("D",))
+def gather_windows_rowtake(atlas: Array, origin_yx: Array, D: int) -> Array:
+    """XLA-only alternative: gather whole rows with one take, then select
+    the D-column window with a batched one-hot dot."""
+    N = origin_yx.shape[0]
+    Ha, Wa = atlas.shape
+    oy = jnp.clip(origin_yx[:, 0], 0, Ha - D)
+    ox = jnp.clip(origin_yx[:, 1], 0, Wa - D)
+    rows_idx = (oy[:, None] + jnp.arange(D, dtype=oy.dtype)).reshape(-1)
+    rows = jnp.take(atlas, rows_idx, axis=0).reshape(N, D, Wa)
+    ii = jnp.arange(D, dtype=jnp.int32)
+    csel = (ox[:, None, None] + ii[None, None, :]
+            == jnp.arange(Wa, dtype=jnp.int32)[None, :, None])
+    return jnp.einsum("ndc,ncj->ndj", rows, csel.astype(atlas.dtype),
+                      preferred_element_type=jnp.float32).astype(atlas.dtype)
+
+
 def gather_windows(atlas: Array, origin_yx: Array, D: int) -> Array:
     """Per-point window extraction.
 

@@ -80,6 +80,42 @@ def umeyama_icp(src: Array, dst: Array, mask: Array | None = None) -> SE3:
     return SE3(R, t)
 
 
+def horn_icp(src: Array, dst: Array, mask: Array | None = None) -> SE3:
+    """Rigid alignment dst ≈ R @ src + t via Horn's quaternion method.
+
+    Capability parity with cg::Tools::ICP_QD (ref: src/Tools.cc:349-431):
+    build the 4x4 quaternion matrix Q from the cross-covariance
+    M = (1/n) Σ d sᵀ, take the max-eigenvalue eigenvector as the rotation
+    quaternion. eigh replaces the reference's SymEigen+SVD null-space
+    two-step. (The reference returns t = centerA − centerB without
+    rotating centerB — we return the standard t = μ_dst − R μ_src so the
+    result actually minimizes ‖dst − (R src + t)‖².)
+    """
+    if mask is None:
+        mask = jnp.ones(src.shape[:-1], bool)
+    wsum = jnp.maximum(jnp.sum(mask.astype(src.dtype)), 1.0)
+    m = mask[..., None].astype(src.dtype)
+    mu_s = jnp.sum(src * m, axis=-2) / wsum
+    mu_d = jnp.sum(dst * m, axis=-2) / wsum
+    cs = (src - mu_s) * m
+    cd = (dst - mu_d) * m
+    M = jnp.einsum("...ni,...nj->...ij", cs, cd) / wsum
+    delta = jnp.stack([M[..., 1, 2] - M[..., 2, 1],
+                       M[..., 2, 0] - M[..., 0, 2],
+                       M[..., 0, 1] - M[..., 1, 0]], axis=-1)
+    tr = jnp.trace(M, axis1=-2, axis2=-1)
+    sym = M + jnp.swapaxes(M, -1, -2) - tr[..., None, None] * jnp.eye(3)
+    top = jnp.concatenate([tr[..., None, None], delta[..., None, :]],
+                          axis=-1)
+    bottom = jnp.concatenate([delta[..., :, None], sym], axis=-1)
+    Q = jnp.concatenate([top, bottom], axis=-2)            # (..., 4, 4)
+    _, vecs = jnp.linalg.eigh(Q)                           # ascending
+    q = vecs[..., :, 3]                                    # (w, x, y, z)
+    R = se3lib.rot_from_quat(q)
+    t = mu_d - jnp.einsum("...ij,...j->...i", R, mu_s)
+    return SE3(R, t)
+
+
 def sampson_error(essential: Array, v2a: Array, v2b: Array) -> Array:
     """First-order geometric (Sampson) error for an essential matrix.
 

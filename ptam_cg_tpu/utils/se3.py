@@ -309,3 +309,15 @@ def rot_from_euler(rpy: Array) -> Array:
                    sy * sp * cr - cy * sr], axis=-1),
         jnp.stack([-sp, cp * sr, cp * cr], axis=-1),
     ], axis=-2)
+
+
+def lh_from_rh(T: SE3) -> SE3:
+    """Right-handed -> left-handed coordinate flip (negate the z axis).
+
+    ref: cg::Tools::LHFromRH (src/Tools.cc:6-21): negate R[2,0:2],
+    R[0:2,2] and t[2] — i.e. conjugate by diag(1, 1, -1). Involutive, so
+    it is also the LH->RH transform. Broadcasts over batched SE3s.
+    """
+    flip = jnp.array([1.0, 1.0, -1.0], jnp.float32)
+    R = T.R * flip[:, None] * flip[None, :]
+    return SE3(R, T.t * flip)

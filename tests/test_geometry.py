@@ -71,3 +71,27 @@ def test_sampson_error_zero_for_perfect_matches():
     E = se3.hat(T_ab.t) @ T_ab.R  # essential matrix for A-from-B
     errs = np.asarray(geometry.sampson_error(jnp.asarray(E), v2a, v2b))
     assert np.max(errs) < 1e-6
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_horn_icp_exact(seed):
+    rng = np.random.default_rng(seed + 10)
+    src = rng.normal(size=(20, 3)).astype(np.float32)
+    T = se3.se3_exp(jnp.asarray(
+        rng.normal(size=6).astype(np.float32) * 0.5))
+    dst = np.asarray(se3.apply(T, jnp.asarray(src)))
+    est = geometry.horn_icp(jnp.asarray(src), jnp.asarray(dst))
+    np.testing.assert_allclose(est.R, T.R, atol=1e-4)
+    np.testing.assert_allclose(est.t, T.t, atol=1e-4)
+
+
+def test_horn_icp_matches_umeyama_under_noise():
+    rng = np.random.default_rng(3)
+    src = rng.normal(size=(50, 3)).astype(np.float32)
+    T = se3.se3_exp(jnp.array([0.2, -0.1, 0.3, 0.1, -0.2, 0.05]))
+    dst = np.array(se3.apply(T, jnp.asarray(src)))
+    dst += rng.normal(size=dst.shape).astype(np.float32) * 0.01
+    a = geometry.horn_icp(jnp.asarray(src), jnp.asarray(dst))
+    b = geometry.umeyama_icp(jnp.asarray(src), jnp.asarray(dst))
+    np.testing.assert_allclose(a.R, b.R, atol=1e-3)
+    np.testing.assert_allclose(a.t, b.t, atol=1e-3)

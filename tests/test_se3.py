@@ -132,3 +132,17 @@ def test_batched_ops_vmap_consistency():
     np.testing.assert_allclose(Ts.R[3], single.R, atol=1e-6)
     logs = se3.se3_log(Ts)
     np.testing.assert_allclose(logs, xis, atol=3e-4)
+
+
+def test_lh_from_rh_involutive_and_matches_conjugation():
+    rng = np.random.default_rng(0)
+    T = se3.se3_exp(jnp.asarray(rng.normal(size=6).astype(np.float32)))
+    L = se3.lh_from_rh(T)
+    F = np.diag([1.0, 1.0, -1.0]).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(L.R), F @ np.asarray(T.R) @ F,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(L.t), F @ np.asarray(T.t),
+                               atol=1e-6)
+    back = se3.lh_from_rh(L)
+    np.testing.assert_allclose(np.asarray(back.R), np.asarray(T.R),
+                               atol=1e-6)
