@@ -142,32 +142,58 @@ def gather_windows_aligned(atlas: Array, origin_yx: Array, D: int,
 
 @functools.partial(jax.jit, static_argnames=("D",))
 def gather_windows_rowtake(atlas: Array, origin_yx: Array, D: int) -> Array:
-    """XLA-only alternative: gather whole rows with one take, then select
-    the D-column window with a batched one-hot dot."""
+    """XLA-only window gather: take row segments, then select the
+    D-column window with a batched one-hot dot (MXU).
+
+    When the atlas width is a multiple of 128 and D <= 128, rows are
+    taken as PAIRS of 128-wide bands from a (Ha*Wa/128, 128) view —
+    2.5x less gather traffic than full 640-wide rows at 640x480."""
     N = origin_yx.shape[0]
     Ha, Wa = atlas.shape
     oy = jnp.clip(origin_yx[:, 0], 0, Ha - D)
     ox = jnp.clip(origin_yx[:, 1], 0, Wa - D)
-    rows_idx = (oy[:, None] + jnp.arange(D, dtype=oy.dtype)).reshape(-1)
-    rows = jnp.take(atlas, rows_idx, axis=0).reshape(N, D, Wa)
     ii = jnp.arange(D, dtype=jnp.int32)
-    csel = (ox[:, None, None] + ii[None, None, :]
-            == jnp.arange(Wa, dtype=jnp.int32)[None, :, None])
+
+    band = 128
+    nb = Wa // band
+    if Wa % band == 0 and D <= band and nb >= 2:
+        b0 = jnp.minimum(ox // band, nb - 2)        # window spans <= 2 bands
+        lx = ox - b0 * band                         # in [0, 2*band - D]
+        banded = atlas.reshape(Ha * nb, band)
+        rb = (oy[:, None] + ii[None, :]) * nb + b0[:, None]   # (N, D)
+        seg_idx = jnp.stack([rb, rb + 1], axis=-1).reshape(-1)
+        rows = jnp.take(banded, seg_idx, axis=0).reshape(N, D, 2 * band)
+        C = 2 * band
+    else:
+        lx = ox
+        rows_idx = (oy[:, None] + ii[None, :]).reshape(-1)
+        rows = jnp.take(atlas, rows_idx, axis=0).reshape(N, D, Wa)
+        C = Wa
+
+    csel = (lx[:, None, None] + ii[None, None, :]
+            == jnp.arange(C, dtype=jnp.int32)[None, :, None])
     return jnp.einsum("ndc,ncj->ndj", rows, csel.astype(atlas.dtype),
                       preferred_element_type=jnp.float32).astype(atlas.dtype)
 
 
-def gather_windows(atlas: Array, origin_yx: Array, D: int) -> Array:
-    """Per-point window extraction.
-
-    Currently always the vmapped-dynamic-slice formulation: it lowers to
-    a serial loop, but at ~1-2 ms per 1152 windows it is NOT the hot
-    spot (the per-iteration resampling was — fixed by the one-hot blend
-    in subpix_refine). The Pallas DMA variant above fails Mosaic's
-    HBM-slice alignment (row offsets must divide the (8, 128) tiling);
-    revisit with band-aligned DMA + in-VMEM shifts.
-    """
+def gather_windows_vmap(atlas: Array, origin_yx: Array, D: int) -> Array:
+    """vmapped-dynamic-slice window extraction — the portable reference
+    formulation. On TPU inside a large program XLA lowers it to a SERIAL
+    while loop (~1 us/point: 2.2 ms/frame at N=1024x2 in the round-1
+    trace)."""
     def one(o):
         return jax.lax.dynamic_slice(atlas, (o[0], o[1]), (D, D))
 
     return jax.vmap(one)(origin_yx)
+
+
+def gather_windows(atlas: Array, origin_yx: Array, D: int) -> Array:
+    """Per-point window extraction (production path).
+
+    Row-take + one-hot column dot: the row gather stays vectorized and
+    the column selection runs on the MXU, unlike the vmapped
+    dynamic_slice (serial while loop) and the per-point HBM DMA (Mosaic
+    rejects sub-tile offsets; the tile-aligned variant above crashes the
+    remote Mosaic compiler on this backend).
+    """
+    return gather_windows_rowtake(atlas, origin_yx, D)

@@ -74,23 +74,33 @@ def iterate_pos_rel_to_target(moving: SBI, target: SBI,
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     interior = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
 
-    def warp(template, R, t):
+    tmpl_flat = moving.template.reshape(-1)
+
+    def warp(_template_unused, R, t):
         """warped[p] = template(R p + t), bilinear; invalid -> big negative
-        (mirrors CVD::transform's -9e20 fill)."""
+        (mirrors CVD::transform's -9e20 fill).
+
+        Sampling is one (hw, hw) one-hot interpolation dot instead of four
+        image gathers: per-element gathers cost ~80 ns each on TPU (the
+        four gathers were ~0.4 ms/frame in the round-1 trace) while the
+        1200x1200 matmul is noise on the MXU."""
         px = R[0, 0] * xs + R[0, 1] * ys + t[0]
         py = R[1, 0] * xs + R[1, 1] * ys + t[1]
         x0 = jnp.floor(px).astype(jnp.int32)
         y0 = jnp.floor(py).astype(jnp.int32)
         fx, fy = px - x0, py - y0
         valid = (x0 >= 0) & (y0 >= 0) & (x0 < w - 1) & (y0 < h - 1)
-        x0c = jnp.clip(x0, 0, w - 2)
-        y0c = jnp.clip(y0, 0, h - 2)
-        v00 = template[y0c, x0c]
-        v01 = template[y0c, x0c + 1]
-        v10 = template[y0c + 1, x0c]
-        v11 = template[y0c + 1, x0c + 1]
-        vals = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
-                + v10 * (1 - fx) * fy + v11 * fx * fy)
+        x0c = jnp.clip(x0, 0, w - 2).reshape(-1)
+        y0c = jnp.clip(y0, 0, h - 2).reshape(-1)
+        fxf = fx.reshape(-1, 1)
+        fyf = fy.reshape(-1, 1)
+        base = (y0c * w + x0c)[:, None]                     # (hw, 1)
+        src = jnp.arange(h * w, dtype=jnp.int32)[None, :]   # (1, hw)
+        wmat = ((src == base) * (1 - fxf) * (1 - fyf)
+                + (src == base + 1) * fxf * (1 - fyf)
+                + (src == base + w) * (1 - fxf) * fyf
+                + (src == base + w + 1) * fxf * fyf)
+        vals = (wmat @ tmpl_flat).reshape(h, w)
         return jnp.where(valid, vals, -9e20), valid
 
     center = jnp.array([cx, cy], jnp.float32)
