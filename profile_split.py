@@ -133,6 +133,28 @@ def main():
     print(f"track  {t_track*1000:.2f} ms (blocking)")
     print(f"total  {t_total*1000:.2f} ms pipelined -> {1/t_total:.1f} FPS")
 
+    # Fused single-dispatch variant: one RPC per frame instead of two.
+    def fused(s, m_, im, ps, k):
+        ff = keyframe.build_frame_tracking(im, cfg.frontend)
+        return tracker.track_frame(s, m_, ff, ps, cam, size, cam_params,
+                                   k, cfg.tracker), ff.sbi_track
+    fused_step = jax.jit(fused)
+    outf, sbif = fused_step(state, m, frames[0], prev_sbi,
+                            jax.random.PRNGKey(0))
+    outf, sbif = fused_step(outf.state, m, frames[0], sbif,
+                            jax.random.PRNGKey(1))
+    jax.block_until_ready(outf)
+    st = outf.state
+    sbi = sbif
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out, sbi = fused_step(st, m, frames[i % len(frames)], sbi,
+                              jax.random.PRNGKey(i))
+        st = out.state
+    st.pose.t.block_until_ready()
+    t_fused = (time.perf_counter() - t0) / iters
+    print(f"fused  {t_fused*1000:.2f} ms pipelined -> {1/t_fused:.1f} FPS")
+
 
 if __name__ == "__main__":
     main()

@@ -69,6 +69,44 @@ def load_map(path: str):
     return m, trk
 
 
+def save_ba_state(path: str, state) -> None:
+    """Checkpoint a mid-flight bundle-adjustment ``LMState`` (including
+    its BundleProblem) so a distributed global BA can restart after a
+    host/device failure (SURVEY §5.3: "recompute from checkpoint" — the
+    reference has no process-level fault tolerance). Arrays are pulled to
+    host, so the checkpoint is mesh-independent: resume may use a
+    different device count (elastic recovery)."""
+    arrays = {}
+    for k, v in state.problem._asdict().items():
+        arrays[f"prob.{k}"] = np.asarray(v)
+    for k in ("lam", "lam_factor", "converged", "accepted", "iters",
+              "last_error"):
+        arrays[f"lm.{k}"] = np.asarray(getattr(state, k))
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def load_ba_state(path: str):
+    """Inverse of ``save_ba_state``; returns an ``LMState`` on the default
+    device (re-shard with ``parallel.sharded_ba.shard_problem`` or pass to
+    ``compute_sharded`` / ``resume_sharded``)."""
+    from ptam_cg_tpu.models.bundle import BundleProblem, LMState
+
+    data = np.load(path)
+    prob = BundleProblem(**{
+        name: jnp.asarray(data[f"prob.{name}"])
+        for name in BundleProblem._fields})
+    return LMState(
+        problem=prob,
+        lam=jnp.asarray(data["lm.lam"]),
+        lam_factor=jnp.asarray(data["lm.lam_factor"]),
+        converged=jnp.asarray(data["lm.converged"]),
+        accepted=jnp.asarray(data["lm.accepted"]),
+        iters=jnp.asarray(data["lm.iters"]),
+        last_error=jnp.asarray(data["lm.last_error"]))
+
+
 def export_map_text(path_prefix: str, m: MapState) -> None:
     """Reference-compatible text dump (SaveMap parity,
     ref: src/MapMaker.cc:1229-1257): ``<prefix>map.dump`` with point

@@ -238,16 +238,50 @@ def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
 def compute_sharded(problem: BundleProblem, mesh: Mesh, cam: atan.Camera,
                     cfg: BundleConfig = BundleConfig(),
                     mest_kind: int = mest.TUKEY,
-                    abort_check=None) -> Tuple[LMState, int]:
-    """Distributed Bundle::Compute: loop sharded LM steps on the host."""
-    problem = shard_problem(problem, mesh)
+                    abort_check=None,
+                    checkpoint_path: str | None = None,
+                    checkpoint_every: int = 5,
+                    _initial_state: LMState | None = None
+                    ) -> Tuple[LMState, int]:
+    """Distributed Bundle::Compute: loop sharded LM steps on the host.
+
+    ``checkpoint_path``: if set, the LMState is written to disk every
+    ``checkpoint_every`` accepted LM steps, giving the multi-host global
+    BA restartability the reference lacks (SURVEY §5.3); resume with
+    ``resume_sharded`` on any mesh size.
+    """
+    if _initial_state is None:
+        problem = shard_problem(problem, mesh)
+        state = bundlelib.init_lm(problem, cfg)
+    else:
+        state = _initial_state._replace(
+            problem=shard_problem(_initial_state.problem, mesh))
     step = make_sharded_lm_step(mesh, cam, cfg, mest_kind)
-    state = bundlelib.init_lm(problem, cfg)
     n = 0
     while (not bool(state.converged)
            and int(state.iters) < cfg.max_iterations):
         state = step(state)
         n += 1
+        if checkpoint_path is not None and n % checkpoint_every == 0:
+            from ptam_cg_tpu.io.checkpoint import save_ba_state
+            save_ba_state(checkpoint_path, state)
         if abort_check is not None and abort_check():
             break
+    if checkpoint_path is not None:
+        from ptam_cg_tpu.io.checkpoint import save_ba_state
+        save_ba_state(checkpoint_path, state)
     return state, n
+
+
+def resume_sharded(checkpoint_path: str, mesh: Mesh, cam: atan.Camera,
+                   cfg: BundleConfig = BundleConfig(),
+                   mest_kind: int = mest.TUKEY,
+                   abort_check=None) -> Tuple[LMState, int]:
+    """Restart a checkpointed global BA on ``mesh`` (which may have a
+    different device count than the failed run — elastic recovery)."""
+    from ptam_cg_tpu.io.checkpoint import load_ba_state
+    state = load_ba_state(checkpoint_path)
+    return compute_sharded(state.problem, mesh, cam, cfg, mest_kind,
+                           abort_check=abort_check,
+                           checkpoint_path=checkpoint_path,
+                           _initial_state=state)

@@ -67,3 +67,37 @@ def test_mesh_helpers():
     assert meshlib.pad_to_multiple(1001, 8) == 1008
     # Single-host: distributed init is a no-op without coordinator env.
     assert meshlib.initialize_distributed() is False
+
+
+def test_ba_checkpoint_resume_elastic(mesh, tmp_path):
+    """Failure-recovery: checkpoint mid-BA, 'crash', resume on a mesh of
+    a DIFFERENT size; final quality matches the uninterrupted run."""
+    from ptam_cg_tpu.io.checkpoint import load_ba_state
+
+    prob, cam, _, _ = make_problem(seed=24, perturb_cams=0.02,
+                                   perturb_pts=0.05)
+    full, _ = sharded_ba.compute_sharded(prob, mesh, cam)
+    rms_full = float(bundle.residual_rms(full.problem, cam))
+
+    ckpt = str(tmp_path / "ba.npz")
+    # Interrupted run: abort after 3 steps, checkpointing every step.
+    calls = {"n": 0}
+
+    def abort_after_1():
+        calls["n"] += 1
+        return calls["n"] >= 1
+
+    part, n1 = sharded_ba.compute_sharded(
+        prob, mesh, cam, abort_check=abort_after_1,
+        checkpoint_path=ckpt, checkpoint_every=1)
+    assert n1 == 1
+    st = load_ba_state(ckpt)
+    assert int(st.iters) == int(part.iters)
+
+    # Elastic resume on a 4-device mesh.
+    mesh4 = Mesh(np.array(jax.devices()[:4]), ("mp",))
+    resumed, n2 = sharded_ba.resume_sharded(ckpt, mesh4, cam)
+    assert n2 >= 1
+    rms_resumed = float(bundle.residual_rms(resumed.problem, cam))
+    assert rms_resumed < 0.05, rms_resumed
+    assert abs(rms_resumed - rms_full) < 0.02
