@@ -156,7 +156,11 @@ def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
             Vinv = patchops.inv3x3(Vstar + 1e-12 * jnp.eye(3))
             Vinv = jnp.where((diag_prod == 0.0)[:, None, None], 0.0, Vinv)
             WV = jnp.einsum("pcab,pbd->pcad", Wfull, Vinv)
-            S_off = jnp.einsum("pjad,pkbd->jakb", WV, Wfull)
+            # Explicit MXU dot over (p, d) — see models/bundle.py.
+            Pn = Vinv.shape[0]
+            WV_m = WV.transpose(1, 2, 0, 3).reshape(C * 6, Pn * 3)
+            W_m = Wfull.transpose(1, 2, 0, 3).reshape(C * 6, Pn * 3)
+            S_off = (WV_m @ W_m.T).reshape(C, 6, C, 6)
             Ustar = U * (jnp.ones((6, 6)) + lam * jnp.eye(6))
             S = -S_off + jnp.einsum("jab,jk->jakb", Ustar, jnp.eye(C))
             rhs = ea - jnp.einsum("pcad,pd->ca", WV, eb)
