@@ -95,8 +95,8 @@ def main():
     build_step = jax.jit(
         lambda im: keyframe.build_frame_tracking(im, cfg.frontend))
     track_step = jax.jit(
-        lambda s, m_, ff, ps, k: tracker.track_frame(
-            s, m_, ff, ps, cam, size, cam_params, k, cfg.tracker))
+        lambda s, m_, ff, ps: tracker.track_frame(
+            s, m_, ff, ps, cam, size, cam_params, None, cfg.tracker))
 
     state = tracker.init_tracker_state(pose0)
     frames = [seq.frame(i) for i in range(1, 8)]
@@ -107,9 +107,8 @@ def main():
     # hand-built init state — without this the timed loop hides a
     # recompile.
     ffw = build_step(frames[0])
-    outw = track_step(state, m, ffw, prev_sbi, jax.random.PRNGKey(0))
-    outw2 = track_step(outw.state, m, ffw, ffw.sbi_track,
-                       jax.random.PRNGKey(1))
+    outw = track_step(state, m, ffw, prev_sbi)
+    outw2 = track_step(outw.state, m, ffw, ffw.sbi_track)
     nf = jnp.sum(outw2.result.meas_valid)
     nf.block_until_ready()
     n_found = int(nf)
@@ -122,7 +121,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(iters):
         ff = build_step(frames[i % len(frames)])
-        out = track_step(st, m, ff, sbi, jax.random.PRNGKey(i))
+        out = track_step(st, m, ff, sbi)
         st = out.state
         sbi = ff.sbi_track
     st.pose.t.block_until_ready()

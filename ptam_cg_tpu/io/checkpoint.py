@@ -38,6 +38,7 @@ def save_map(path: str, m: MapState,
             float(tracker_state.just_recovered),
             float(tracker_state.depth_mean),
             float(tracker_state.depth_sigma)])
+        arrays["trk.key"] = np.asarray(tracker_state.key)
     tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, **arrays)
     os.replace(tmp, path)
@@ -65,7 +66,9 @@ def load_map(path: str):
             quality=jnp.int32(int(s[2])),
             just_recovered=jnp.asarray(bool(s[3])),
             depth_mean=jnp.float32(s[4]),
-            depth_sigma=jnp.float32(s[5]))
+            depth_sigma=jnp.float32(s[5]),
+            key=(jnp.asarray(data["trk.key"]) if "trk.key" in data
+                 else jax.random.PRNGKey(0)))
     return m, trk
 
 

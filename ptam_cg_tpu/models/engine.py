@@ -76,7 +76,7 @@ class SLAMEngine:
         self.mapmaker = mmlib.MapMaker(self.map, self.cam, self.image_size,
                                        cfg.mapmaker, cfg.bundle, seed=seed)
         self.stage = Stage.NOT_STARTED
-        self.tracker_state = trklib.init_tracker_state()
+        self.tracker_state = trklib.init_tracker_state(seed=seed + 1)
         self.trails: Optional[initlib.TrailState] = None
         self.first_features = None
         self.prev_features = None
@@ -96,9 +96,9 @@ class SLAMEngine:
         self._build_track = jax.jit(
             lambda im: kflib.build_frame_tracking(im, cfg.frontend))
         self._track = jax.jit(
-            lambda s, m, f, ps, k: trklib.track_frame(
+            lambda s, m, f, ps: trklib.track_frame(
                 s, m, f, ps, self.cam, self.image_size, self.cam_params,
-                k, cfg.tracker))
+                None, cfg.tracker))
         W, H = self.image_size
         self._sbi_size = ((H >> 3) // 2, (W >> 3) // 2)
         self._reloc = jax.jit(lambda m, sbi: reloclib.attempt_recovery(
@@ -183,7 +183,8 @@ class SLAMEngine:
             self.map, self.cam, self.image_size, self.cfg.mapmaker,
             self.cfg.bundle)
         self.stage = Stage.NOT_STARTED
-        self.tracker_state = trklib.init_tracker_state()
+        self.tracker_state = trklib.init_tracker_state(
+            key=self._next_key())
         self.trails = None
         self.first_features = None
         self.frames_since_kf = 0
@@ -236,7 +237,7 @@ class SLAMEngine:
                     else:
                         self.stage = Stage.TRACKING
                         self.tracker_state = trklib.init_tracker_state(
-                            pose2)
+                            pose2, key=self._next_key())
                         self.newest_kf = 1
                         self.frames_since_kf = 0
 
@@ -254,7 +255,7 @@ class SLAMEngine:
                     relocalized = True
 
             out = self._track(st, self.map, features,
-                              self.prev_features.sbi_track, self._next_key())
+                              self.prev_features.sbi_track)
             self.tracker_state = out.state
             res = out.result
             n_found = int(jnp.sum(res.meas_valid))

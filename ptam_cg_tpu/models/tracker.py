@@ -62,16 +62,22 @@ class TrackerState(NamedTuple):
     just_recovered: Array      # () bool
     depth_mean: Array          # () current scene depth mean
     depth_sigma: Array         # ()
+    key: Array                 # (2,) uint32 PRNG key, advanced per frame
 
 
-def init_tracker_state(pose: SE3 | None = None) -> TrackerState:
+def init_tracker_state(pose: SE3 | None = None,
+                       key: Array | None = None,
+                       seed: int = 0) -> TrackerState:
     if pose is None:
         pose = se3lib.identity()
+    if key is None:
+        key = jax.random.PRNGKey(seed)
     return TrackerState(
         pose=pose, velocity=jnp.zeros(6, jnp.float32),
         msd_vel=jnp.float32(0.0), lost_frames=jnp.int32(0),
         quality=jnp.int32(QUALITY_GOOD), just_recovered=jnp.asarray(False),
-        depth_mean=jnp.float32(1.0), depth_sigma=jnp.float32(1.0))
+        depth_mean=jnp.float32(1.0), depth_sigma=jnp.float32(1.0),
+        key=key)
 
 
 class TrackResult(NamedTuple):
@@ -412,13 +418,21 @@ class FrameOutput(NamedTuple):
 
 def track_frame(state: TrackerState, m: MapState, frame: FrameFeatures,
                 prev_sbi: sbiops.SBI, cam: atan.Camera, image_size,
-                cam_params: Array, key: Array,
+                cam_params: Array, key: Array | None = None,
                 cfg: TrackerConfig = TrackerConfig()) -> FrameOutput:
     """Full per-frame step once the map is good
     (ref: Tracker::TrackFrame, src/Tracker.cc:86-188): motion-model
     predict (+ SBI rotation seed), TrackMap, motion-model update,
-    quality assessment. One jitted program."""
+    quality assessment. One jitted program.
+
+    The per-frame PRNG key is carried in ``state.key`` and advanced here
+    (host-side ``PRNGKey``/``split`` calls are extra device programs —
+    costly per-frame dispatches on a networked backend). Passing ``key``
+    explicitly overrides the state key for this frame (tests)."""
     W, H = image_size
+    k_next, k_frame = jax.random.split(state.key)
+    if key is not None:
+        k_frame = key
     sbi_size = ((H >> 3) // 2, (W >> 3) // 2)
 
     # --- PredictPoseWithMotionModel (ref: src/Tracker.cc:1012-1029) ---
@@ -434,7 +448,7 @@ def track_frame(state: TrackerState, m: MapState, frame: FrameFeatures,
         score = jnp.float32(0.0)
     pred_pose = se3lib.mul(se3lib.se3_exp(vel), start_pose)
 
-    res = track_map(m, frame, pred_pose, cam, image_size, key,
+    res = track_map(m, frame, pred_pose, cam, image_size, k_frame,
                     state.msd_vel, state.just_recovered, cfg)
 
     # --- UpdateMotionModel (ref: src/Tracker.cc:1035-1056) ---
@@ -467,5 +481,6 @@ def track_frame(state: TrackerState, m: MapState, frame: FrameFeatures,
         pose=res.pose, velocity=new_vel, msd_vel=msd_vel,
         lost_frames=lost, quality=quality,
         just_recovered=jnp.asarray(False),
-        depth_mean=res.depth_mean, depth_sigma=res.depth_sigma)
+        depth_mean=res.depth_mean, depth_sigma=res.depth_sigma,
+        key=k_next)
     return FrameOutput(state=new_state, result=res, sbi_score=score)
