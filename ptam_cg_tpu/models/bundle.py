@@ -115,6 +115,69 @@ def _jacobians(p_cam, z1, cam_R_meas, cam: atan.Camera, scale):
     return A, B
 
 
+def _accumulators(prob: BundleProblem, cam: atan.Camera, sigma_sq: Array,
+                  cfg: BundleConfig, mest_kind: int):
+    """Project + robustly weight every measurement and build the LM
+    normal-equation blocks (ref: Do_LM_Step parts (i)-(ii),
+    src/Bundle.cc:218-332). Shared by the single-chip and sharded steps
+    (the sharded step psums the returns over its mesh axis).
+
+    TPU lowering notes (from XPlane traces at 64 KF/4k pt/16k meas):
+    - U/ea accumulate as ONE one-hot matmul on the MXU (a (C, M) one-hot
+      dot beats the scatter-add lowering ~15x; out-of-range indices give
+      all-zero one-hot rows = scatter mode="drop").
+    - V/eb stay a scatter (a (M, P) one-hot would be 256 MB) but merge
+      into a single (P, 12) scatter.
+    - W blocks scatter in (C, P, 6, 3) order and are returned reshaped to
+      (C*6, P, 3) — the ONE layout every inner-loop contraction (WV,
+      S_off, rhs, corr) consumes, so no per-iteration transposes.
+
+    Returns (U, ea, V, eb, W_m3, err, new_bad, good).
+    """
+    C = prob.cam_R.shape[0]
+    P = prob.pt_pos.shape[0]
+    M = prob.meas_cam.shape[0]
+    active = prob.meas_valid & ~prob.meas_bad
+
+    p_cam, z1, eps, err_sq, bad_proj = _project_meas(
+        prob.cam_R, prob.cam_t, prob.pt_pos, prob, cam)
+    ok = active & ~bad_proj
+    w_sqrt = jnp.where(ok, mest.sqrt_weight(err_sq, sigma_sq, mest_kind),
+                       0.0)
+    new_bad = active & (bad_proj | (w_sqrt == 0.0))
+    good = active & ~new_bad
+    err = (jnp.sum(jnp.where(
+        good, mest.objective(err_sq, sigma_sq, mest_kind), 0.0))
+        + jnp.sum(new_bad.astype(jnp.float32)))
+
+    eps_w = eps * w_sqrt[:, None]
+    scale = prob.meas_sqrt_inv_noise * w_sqrt * good.astype(jnp.float32)
+    A, B = _jacobians(p_cam, z1, prob.cam_R[prob.meas_cam], cam, scale)
+    A = jnp.where(prob.cam_fixed[prob.meas_cam][:, None, None], 0.0, A)
+
+    oh_c = jax.nn.one_hot(prob.meas_cam, C, dtype=jnp.float32)   # (M, C)
+    AtA = jnp.einsum("mia,mib->mab", A, A).reshape(M, 36)
+    Aeps = jnp.einsum("mia,mi->ma", A, eps_w)                    # (M, 6)
+    Uea = oh_c.T @ jnp.concatenate([AtA, Aeps], axis=-1)         # (C, 42)
+    U = Uea[:, :36].reshape(C, 6, 6)
+    ea = Uea[:, 36:]
+
+    BtB = jnp.einsum("mia,mib->mab", B, B).reshape(M, 9)
+    Beps = jnp.einsum("mia,mi->ma", B, eps_w)                    # (M, 3)
+    Veb = jnp.zeros((P, 12)).at[prob.meas_pt].add(
+        jnp.concatenate([BtB, Beps], axis=-1), mode="drop")
+    V = Veb[:, :9].reshape(P, 3, 3)
+    eb = Veb[:, 9:]
+
+    # Dense per-(cam, point) W blocks: the off-diag scripts, vectorized
+    # (ref: src/Bundle.cc:328-331, 572-599).
+    Wm = jnp.einsum("mia,mib->mab", A, B)                        # (M, 6, 3)
+    Wcp = jnp.zeros((C, P, 6, 3)).at[prob.meas_cam, prob.meas_pt].add(
+        Wm, mode="drop")
+    W_m3 = Wcp.transpose(0, 2, 1, 3).reshape(C * 6, P, 3)
+    return U, ea, V, eb, W_m3, err, new_bad, good
+
+
 def lm_step(state: LMState, cam: atan.Camera,
             cfg: BundleConfig = BundleConfig(),
             mest_kind: int = mest.TUKEY) -> LMState:
@@ -127,40 +190,16 @@ def lm_step(state: LMState, cam: atan.Camera,
 
     active = prob.meas_valid & ~prob.meas_bad
 
-    # ---- (i) project, robust sigma, weights -----------------------------
-    p_cam, z1, eps, err_sq, bad_proj = _project_meas(
+    # ---- (i) robust sigma ------------------------------------------------
+    _, _, _, err_sq, bad_proj = _project_meas(
         prob.cam_R, prob.cam_t, prob.pt_pos, prob, cam)
     ok = active & ~bad_proj
     sigma_sq = mest.find_sigma_squared(err_sq, ok, mest_kind,
                                        min_sigma=cfg.min_sigma)
-    w_sqrt = jnp.where(ok, mest.sqrt_weight(err_sq, sigma_sq, mest_kind),
-                       0.0)
-    new_bad = active & (bad_proj | (w_sqrt == 0.0))
-    good = active & ~new_bad
-    current_error = (jnp.sum(jnp.where(
-        good, mest.objective(err_sq, sigma_sq, mest_kind), 0.0))
-        + jnp.sum(new_bad.astype(jnp.float32)))
 
-    eps_w = eps * w_sqrt[:, None]
-
-    # ---- jacobians + accumulators --------------------------------------
-    scale = prob.meas_sqrt_inv_noise * w_sqrt * good.astype(jnp.float32)
-    A, B = _jacobians(p_cam, z1, prob.cam_R[prob.meas_cam], cam, scale)
-    fixed_m = prob.cam_fixed[prob.meas_cam]
-    A = jnp.where(fixed_m[:, None, None], 0.0, A)
-
-    U = jnp.zeros((C, 6, 6)).at[prob.meas_cam].add(
-        jnp.einsum("mia,mib->mab", A, A), mode="drop")
-    ea = jnp.zeros((C, 6)).at[prob.meas_cam].add(
-        jnp.einsum("mia,mi->ma", A, eps_w), mode="drop")
-    V = jnp.zeros((P, 3, 3)).at[prob.meas_pt].add(
-        jnp.einsum("mia,mib->mab", B, B), mode="drop")
-    eb = jnp.zeros((P, 3)).at[prob.meas_pt].add(
-        jnp.einsum("mia,mi->ma", B, eps_w), mode="drop")
-    Wm = jnp.einsum("mia,mib->mab", A, B)                 # (M, 6, 3)
-    # Dense per-(point, cam) W blocks: the off-diag scripts, vectorized.
-    Wfull = jnp.zeros((P, C, 6, 3)).at[prob.meas_pt, prob.meas_cam].add(
-        Wm, mode="drop")
+    # ---- (ii) jacobians + accumulators ----------------------------------
+    U, ea, V, eb, W_m3, current_error, new_bad, good = _accumulators(
+        prob, cam, sigma_sq, cfg, mest_kind)
 
     free = prob.cam_valid & ~prob.cam_fixed               # (C,)
     free_f = free.astype(jnp.float32)
@@ -177,19 +216,18 @@ def lm_step(state: LMState, cam: atan.Camera,
         Vinv = jnp.where((diag_prod == 0.0)[:, None, None], 0.0, Vinv)
 
         # S diag + off-diag in one shot: S = U* - sum_p W V^-1 W^T.
-        WV = jnp.einsum("pcab,pbd->pcad", Wfull, Vinv)    # (P, C, 6, 3)
-        # Contract (p, d) out as ONE explicit matmul: the einsum form
-        # lowers to a VPU multiply-reduce (1.75 ms at 64 KF/4k pt/16k
-        # meas); the reshaped dot runs on the MXU (~40 us + transposes).
+        # All contractions consume W_m3's (C*6, P, 3) layout directly:
+        # WV is a bandwidth-bound VPU blend over b=3, S_off one MXU dot.
+        WV = jnp.einsum("cpb,pbd->cpd", W_m3, Vinv)       # (C*6, P, 3)
         Pn = Vinv.shape[0]
-        WV_m = WV.transpose(1, 2, 0, 3).reshape(C * 6, Pn * 3)
-        W_m = Wfull.transpose(1, 2, 0, 3).reshape(C * 6, Pn * 3)
+        WV_m = WV.reshape(C * 6, Pn * 3)
+        W_m = W_m3.reshape(C * 6, Pn * 3)
         S_off = (WV_m @ W_m.T).reshape(C, 6, C, 6)        # (C,6,C,6)
         Ustar = U * (jnp.ones((6, 6)) + lam * jnp.eye(6))
         S = -S_off
         S = S + jnp.einsum("jab,jk->jakb", Ustar,
                            jnp.eye(C))                    # add diag blocks
-        rhs = ea - jnp.einsum("pcad,pd->ca", WV, eb)      # (C, 6)
+        rhs = ea - (WV_m @ eb.reshape(-1)).reshape(C, 6)
 
         # Fixed/invalid cameras: identity block, zero rhs.
         blk = free_f[:, None, None, None] * free_f[None, None, :, None]
@@ -206,8 +244,9 @@ def lm_step(state: LMState, cam: atan.Camera,
             rhs.reshape(-1)).reshape(C, 6)
         delta_cam = delta_cam * free_f[:, None]
 
-        # Back-substitute point updates (ref: src/Bundle.cc:461-483).
-        corr = jnp.einsum("pcad,ca->pd", Wfull, delta_cam)  # (P, 3)
+        # Back-substitute point updates (ref: src/Bundle.cc:461-483);
+        # one (C*6) @ (C*6, P*3) vec-mat in the shared W layout.
+        corr = (delta_cam.reshape(-1) @ W_m).reshape(Pn, 3)
         delta_pt = jnp.einsum("pab,pb->pa", Vinv, eb - corr)
         delta_pt = delta_pt * prob.pt_valid[:, None]
 

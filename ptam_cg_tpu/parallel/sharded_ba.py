@@ -63,46 +63,20 @@ def _local_accumulators(prob: BundleProblem, cam: atan.Camera,
                         sigma_sq: Array, cfg: BundleConfig,
                         mest_kind: int, axis: str):
     """Per-shard U/V/W/gradient partials from the local measurement shard,
-    completed with psum (the distributed half of Do_LM_Step part (ii))."""
-    C = prob.cam_R.shape[0]
-    Pn = prob.pt_pos.shape[0]
-    active = prob.meas_valid & ~prob.meas_bad
-    p_cam, z1, eps, err_sq, bad_proj = bundlelib._project_meas(
-        prob.cam_R, prob.cam_t, prob.pt_pos, prob, cam)
-    ok = active & ~bad_proj
-    w_sqrt = jnp.where(ok, mest.sqrt_weight(err_sq, sigma_sq, mest_kind),
-                       0.0)
-    new_bad = active & (bad_proj | (w_sqrt == 0.0))
-    good = active & ~new_bad
-    err_local = (jnp.sum(jnp.where(
-        good, mest.objective(err_sq, sigma_sq, mest_kind), 0.0))
-        + jnp.sum(new_bad.astype(jnp.float32)))
-    eps_w = eps * w_sqrt[:, None]
-    scale = prob.meas_sqrt_inv_noise * w_sqrt * good.astype(jnp.float32)
-    A, B = bundlelib._jacobians(p_cam, z1, prob.cam_R[prob.meas_cam], cam,
-                                scale)
-    A = jnp.where(prob.cam_fixed[prob.meas_cam][:, None, None], 0.0, A)
-
-    U = jnp.zeros((C, 6, 6)).at[prob.meas_cam].add(
-        jnp.einsum("mia,mib->mab", A, A), mode="drop")
-    ea = jnp.zeros((C, 6)).at[prob.meas_cam].add(
-        jnp.einsum("mia,mi->ma", A, eps_w), mode="drop")
-    V = jnp.zeros((Pn, 3, 3)).at[prob.meas_pt].add(
-        jnp.einsum("mia,mib->mab", B, B), mode="drop")
-    eb = jnp.zeros((Pn, 3)).at[prob.meas_pt].add(
-        jnp.einsum("mia,mi->ma", B, eps_w), mode="drop")
-    Wm = jnp.einsum("mia,mib->mab", A, B)
-    Wfull = jnp.zeros((Pn, C, 6, 3)).at[prob.meas_pt, prob.meas_cam].add(
-        Wm, mode="drop")
+    completed with psum (the distributed half of Do_LM_Step part (ii)).
+    Delegates to the single-chip accumulator builder — the psum is the
+    only distributed addition."""
+    (U, ea, V, eb, W_m3, err_local, new_bad,
+     good) = bundlelib._accumulators(prob, cam, sigma_sq, cfg, mest_kind)
 
     # --- the collectives: complete the global accumulators over ICI ---
     U = jax.lax.psum(U, axis)
     ea = jax.lax.psum(ea, axis)
     V = jax.lax.psum(V, axis)
     eb = jax.lax.psum(eb, axis)
-    Wfull = jax.lax.psum(Wfull, axis)
+    W_m3 = jax.lax.psum(W_m3, axis)
     current_error = jax.lax.psum(err_local, axis)
-    return U, ea, V, eb, Wfull, current_error, new_bad, good
+    return U, ea, V, eb, W_m3, current_error, new_bad, good
 
 
 def _sigma_squared_global(prob: BundleProblem, cam: atan.Camera,
@@ -143,7 +117,7 @@ def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
         C = prob.cam_R.shape[0]
 
         sigma_sq = _sigma_squared_global(prob, cam, cfg, mest_kind, axis)
-        (U, ea, V, eb, Wfull, current_error, new_bad,
+        (U, ea, V, eb, W_m3, current_error, new_bad,
          good) = _local_accumulators(prob, cam, sigma_sq, cfg, mest_kind,
                                      axis)
         free = prob.cam_valid & ~prob.cam_fixed
@@ -155,15 +129,15 @@ def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
             diag_prod = V[:, 0, 0] * V[:, 1, 1] * V[:, 2, 2]
             Vinv = patchops.inv3x3(Vstar + 1e-12 * jnp.eye(3))
             Vinv = jnp.where((diag_prod == 0.0)[:, None, None], 0.0, Vinv)
-            WV = jnp.einsum("pcab,pbd->pcad", Wfull, Vinv)
-            # Explicit MXU dot over (p, d) — see models/bundle.py.
+            # Single-layout contractions — see models/bundle.py::lm_step.
+            WV = jnp.einsum("cpb,pbd->cpd", W_m3, Vinv)   # (C*6, P, 3)
             Pn = Vinv.shape[0]
-            WV_m = WV.transpose(1, 2, 0, 3).reshape(C * 6, Pn * 3)
-            W_m = Wfull.transpose(1, 2, 0, 3).reshape(C * 6, Pn * 3)
+            WV_m = WV.reshape(C * 6, Pn * 3)
+            W_m = W_m3.reshape(C * 6, Pn * 3)
             S_off = (WV_m @ W_m.T).reshape(C, 6, C, 6)
             Ustar = U * (jnp.ones((6, 6)) + lam * jnp.eye(6))
             S = -S_off + jnp.einsum("jab,jk->jakb", Ustar, jnp.eye(C))
-            rhs = ea - jnp.einsum("pcad,pd->ca", WV, eb)
+            rhs = ea - (WV_m @ eb.reshape(-1)).reshape(C, 6)
             blk = (free_f[:, None, None, None]
                    * free_f[None, None, :, None])
             S = S * blk + jnp.einsum(
@@ -176,7 +150,7 @@ def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
                                             lower=True),
                 rhs.reshape(-1)).reshape(C, 6)
             delta_cam = delta_cam * free_f[:, None]
-            corr = jnp.einsum("pcad,ca->pd", Wfull, delta_cam)
+            corr = (delta_cam.reshape(-1) @ W_m).reshape(Pn, 3)
             delta_pt = jnp.einsum("pab,pb->pa", Vinv, eb - corr)
             delta_pt = delta_pt * prob.pt_valid[:, None]
             upd_sq = jnp.sum(delta_cam ** 2) + jnp.sum(delta_pt ** 2)

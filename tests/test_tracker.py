@@ -146,6 +146,29 @@ def test_track_frame_full_step(setup):
     assert float(jnp.linalg.norm(out.state.velocity)) > 1e-5
 
 
+def test_track_frame_fused_matches_split(setup):
+    """track_frame_from_image (one fused dispatch) == build + track."""
+    seq, cam, m, ff0 = setup
+    im1 = seq.frame(1)
+    cam_params = jnp.asarray(REF_PARAMS, jnp.float32)
+    state = tracker.init_tracker_state(seq.pose(0), seed=5)
+
+    ff = keyframe.build_frame_tracking(im1)
+    out_split = tracker.track_frame(state, m, ff, ff0.sbi_track, cam,
+                                    SIZE, cam_params)
+    out_fused = jax.jit(
+        lambda s, m_, im, ps: tracker.track_frame_from_image(
+            s, m_, im, ps, cam, SIZE, cam_params))(
+        state, m, im1, ff0.sbi_track)
+    np.testing.assert_allclose(np.asarray(out_fused.state.pose.t),
+                               np.asarray(out_split.state.pose.t),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_fused.sbi_track.template),
+                               np.asarray(ff.sbi_track.template),
+                               atol=1e-4)
+    assert int(out_fused.state.quality) == int(out_split.state.quality)
+
+
 def test_track_sequence_accumulates_ate(setup):
     """Track frames 1..5 sequentially from the frame-0 map; ATE stays
     bounded (the minimal end-to-end slice of BASELINE config 1)."""
