@@ -128,11 +128,14 @@ def _accumulators(prob: BundleProblem, cam: atan.Camera, sigma_sq: Array,
       all-zero one-hot rows = scatter mode="drop").
     - V/eb stay a scatter (a (M, P) one-hot would be 256 MB) but merge
       into a single (P, 12) scatter.
-    - W blocks scatter in (C, P, 6, 3) order and are returned reshaped to
-      (C*6, P, 3) — the ONE layout every inner-loop contraction (WV,
-      S_off, rhs, corr) consumes, so no per-iteration transposes.
+    - W blocks scatter point-leading (P, C, 6, 3): the per-iteration WV
+      product is then a batch-p dot_general needing no transposes, and
+      XLA hoists the one loop-invariant (C*6, P*3) re-layout of W out of
+      the lambda loop. (Scattering in (C, P, ...) order + explicit
+      pre-transposing measured 2 ms/step SLOWER — XLA's layout
+      assignment inserts fighting copies.)
 
-    Returns (U, ea, V, eb, W_m3, err, new_bad, good).
+    Returns (U, ea, V, eb, Wfull (P, C, 6, 3), err, new_bad, good).
     """
     C = prob.cam_R.shape[0]
     P = prob.pt_pos.shape[0]
@@ -169,13 +172,12 @@ def _accumulators(prob: BundleProblem, cam: atan.Camera, sigma_sq: Array,
     V = Veb[:, :9].reshape(P, 3, 3)
     eb = Veb[:, 9:]
 
-    # Dense per-(cam, point) W blocks: the off-diag scripts, vectorized
+    # Dense per-(point, cam) W blocks: the off-diag scripts, vectorized
     # (ref: src/Bundle.cc:328-331, 572-599).
     Wm = jnp.einsum("mia,mib->mab", A, B)                        # (M, 6, 3)
-    Wcp = jnp.zeros((C, P, 6, 3)).at[prob.meas_cam, prob.meas_pt].add(
+    Wfull = jnp.zeros((P, C, 6, 3)).at[prob.meas_pt, prob.meas_cam].add(
         Wm, mode="drop")
-    W_m3 = Wcp.transpose(0, 2, 1, 3).reshape(C * 6, P, 3)
-    return U, ea, V, eb, W_m3, err, new_bad, good
+    return U, ea, V, eb, Wfull, err, new_bad, good
 
 
 def lm_step(state: LMState, cam: atan.Camera,
@@ -198,8 +200,11 @@ def lm_step(state: LMState, cam: atan.Camera,
                                        min_sigma=cfg.min_sigma)
 
     # ---- (ii) jacobians + accumulators ----------------------------------
-    U, ea, V, eb, W_m3, current_error, new_bad, good = _accumulators(
+    U, ea, V, eb, Wfull, current_error, new_bad, good = _accumulators(
         prob, cam, sigma_sq, cfg, mest_kind)
+    # Loop-invariant matrix view of W for the vec-mat contractions (rhs,
+    # corr back-substitution); XLA hoists this copy out of the lambda loop.
+    W_m = Wfull.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
 
     free = prob.cam_valid & ~prob.cam_fixed               # (C,)
     free_f = free.astype(jnp.float32)
@@ -216,12 +221,12 @@ def lm_step(state: LMState, cam: atan.Camera,
         Vinv = jnp.where((diag_prod == 0.0)[:, None, None], 0.0, Vinv)
 
         # S diag + off-diag in one shot: S = U* - sum_p W V^-1 W^T.
-        # All contractions consume W_m3's (C*6, P, 3) layout directly:
-        # WV is a bandwidth-bound VPU blend over b=3, S_off one MXU dot.
-        WV = jnp.einsum("cpb,pbd->cpd", W_m3, Vinv)       # (C*6, P, 3)
+        # WV is a batch-p dot (no layout change); the (p, d) contraction
+        # runs as ONE MXU dot on re-layouted matrix views (the einsum
+        # form lowered to a 1.75 ms VPU multiply-reduce).
+        WV = jnp.einsum("pcab,pbd->pcad", Wfull, Vinv)    # (P, C, 6, 3)
         Pn = Vinv.shape[0]
-        WV_m = WV.reshape(C * 6, Pn * 3)
-        W_m = W_m3.reshape(C * 6, Pn * 3)
+        WV_m = WV.transpose(1, 2, 0, 3).reshape(C * 6, Pn * 3)
         S_off = (WV_m @ W_m.T).reshape(C, 6, C, 6)        # (C,6,C,6)
         Ustar = U * (jnp.ones((6, 6)) + lam * jnp.eye(6))
         S = -S_off

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ptam_cg_tpu.camera import atan
 from ptam_cg_tpu.ops import image as imops
+from ptam_cg_tpu.utils import geometry as geomlib
 from ptam_cg_tpu.utils import se3 as se3lib
 from ptam_cg_tpu.utils.se3 import SE3
 
@@ -128,7 +129,7 @@ def iterate_pos_rel_to_target(moving: SBI, target: SBI,
         score = jnp.sum(d * d)
         JTd = jnp.einsum("hwk,hw->k", J, d)
         JTJ = jnp.einsum("hwi,hwj->ij", J, J)
-        upd = jnp.linalg.solve(JTJ + 1e-8 * jnp.eye(4), JTd)
+        upd = geomlib.spd_solve(JTJ + 1e-8 * jnp.eye(4), JTd)
         R_u = so2_exp(-upd[2])
         t_u = -upd[:2]
         R_new = R_cc @ R_u
@@ -173,7 +174,7 @@ def se3_from_se2(se2: SE2, cam_params: Array,
         J = Jpix.transpose(0, 2, 1).reshape(-1, 3)              # (4, 3)
         r = err.reshape(-1)
         JTJ = J.T @ J + 10.0 * jnp.eye(3)   # wls.add_prior(10.0)
-        upd = jnp.linalg.solve(JTJ, J.T @ r)
+        upd = geomlib.spd_solve(JTJ, J.T @ r)
         return se3lib.so3_exp(upd) @ R
 
     R = jax.lax.fori_loop(0, 3, gn_step, jnp.eye(3, dtype=jnp.float32))

@@ -66,7 +66,7 @@ def _local_accumulators(prob: BundleProblem, cam: atan.Camera,
     completed with psum (the distributed half of Do_LM_Step part (ii)).
     Delegates to the single-chip accumulator builder — the psum is the
     only distributed addition."""
-    (U, ea, V, eb, W_m3, err_local, new_bad,
+    (U, ea, V, eb, Wfull, err_local, new_bad,
      good) = bundlelib._accumulators(prob, cam, sigma_sq, cfg, mest_kind)
 
     # --- the collectives: complete the global accumulators over ICI ---
@@ -74,9 +74,9 @@ def _local_accumulators(prob: BundleProblem, cam: atan.Camera,
     ea = jax.lax.psum(ea, axis)
     V = jax.lax.psum(V, axis)
     eb = jax.lax.psum(eb, axis)
-    W_m3 = jax.lax.psum(W_m3, axis)
+    Wfull = jax.lax.psum(Wfull, axis)
     current_error = jax.lax.psum(err_local, axis)
-    return U, ea, V, eb, W_m3, current_error, new_bad, good
+    return U, ea, V, eb, Wfull, current_error, new_bad, good
 
 
 def _sigma_squared_global(prob: BundleProblem, cam: atan.Camera,
@@ -117,9 +117,12 @@ def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
         C = prob.cam_R.shape[0]
 
         sigma_sq = _sigma_squared_global(prob, cam, cfg, mest_kind, axis)
-        (U, ea, V, eb, W_m3, current_error, new_bad,
+        (U, ea, V, eb, Wfull, current_error, new_bad,
          good) = _local_accumulators(prob, cam, sigma_sq, cfg, mest_kind,
                                      axis)
+        Pn = Wfull.shape[0]
+        # Loop-invariant matrix view (hoisted) — see models/bundle.py.
+        W_m = Wfull.transpose(1, 2, 0, 3).reshape(C * 6, Pn * 3)
         free = prob.cam_valid & ~prob.cam_fixed
         free_f = free.astype(jnp.float32)
 
@@ -129,11 +132,8 @@ def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
             diag_prod = V[:, 0, 0] * V[:, 1, 1] * V[:, 2, 2]
             Vinv = patchops.inv3x3(Vstar + 1e-12 * jnp.eye(3))
             Vinv = jnp.where((diag_prod == 0.0)[:, None, None], 0.0, Vinv)
-            # Single-layout contractions — see models/bundle.py::lm_step.
-            WV = jnp.einsum("cpb,pbd->cpd", W_m3, Vinv)   # (C*6, P, 3)
-            Pn = Vinv.shape[0]
-            WV_m = WV.reshape(C * 6, Pn * 3)
-            W_m = W_m3.reshape(C * 6, Pn * 3)
+            WV = jnp.einsum("pcab,pbd->pcad", Wfull, Vinv)
+            WV_m = WV.transpose(1, 2, 0, 3).reshape(C * 6, Pn * 3)
             S_off = (WV_m @ W_m.T).reshape(C, 6, C, 6)
             Ustar = U * (jnp.ones((6, 6)) + lam * jnp.eye(6))
             S = -S_off + jnp.einsum("jab,jk->jakb", Ustar, jnp.eye(C))

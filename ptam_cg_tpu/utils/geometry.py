@@ -133,3 +133,38 @@ def sampson_error(essential: Array, v2a: Array, v2b: Array) -> Array:
     denom = (Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2
              + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2)
     return err * err / jnp.maximum(denom, 1e-12)
+
+
+def spd_solve(A: Array, b: Array) -> Array:
+    """Solve A x = b for small SPD A (..., n, n) by a fully unrolled
+    Cholesky — pure fusable VPU scalar ops, no LU custom-call. The
+    reference's TooN ``Cholesky<6>``/``WLS<N>`` solves are this size
+    (ref: src/Tracker.cc:976 WLS<6>, src/PatchFinder.cc:240 M3Inverse,
+    src/ImageProcess.cc:383 Cholesky<4>); on TPU the LAPACK-style
+    custom-call costs ~25 us dispatch per GN iteration, which dominates
+    chained 10-iteration solve loops. Static n (unrolled) — intended for
+    n <= 9."""
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
