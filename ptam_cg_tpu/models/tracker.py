@@ -234,7 +234,7 @@ def _gn_pose_iterations(pose: SE3, cam: atan.Camera, image_size,
         rhs = jnp.einsum("n,nij,ni->j", w, Js, err)
         # Unrolled SPD solve: the LU custom-call costs ~25 us dispatch per
         # iteration x 20 chained iterations/frame.
-        upd = geomlib.spd_solve(JTJ, rhs)
+        upd = jnp.linalg.solve(JTJ, rhs)
         new_pose = se3lib.mul(se3lib.se3_exp(upd), pose_i)
         return new_pose.R, new_pose.t, w
 
