@@ -95,6 +95,15 @@ class TrackerConfig:
     min_frames_between_kfs: int = 20
     #: Trail-init minimum surviving trails (ref: src/Tracker.cc:328-332).
     min_trails: int = 10
+    #: TrackMapLocal: restrict the PVS to points measured by the
+    #: ``track_local_kfs`` keyframes nearest the predicted pose
+    #: (ref: src/Tracker.cc:700-857 — a variant with no automatic
+    #: activation in the reference either; enable via config).
+    track_local: bool = False
+    track_local_kfs: int = 4
+    #: DODGY-branch lost check: camera further than this multiple of
+    #: WiggleScale from the nearest KF -> BAD (ref: src/Tracker.cc:1098).
+    quality_max_kf_dist_mult: float = 10.0
     #: Sub-pixel-refine EVERY fine-stage measurement, not only level-3.
     #: The reference restricts subpix to level-3 fine points purely for
     #: CPU cost (ref: src/Tracker.cc:586-607); the batched TPU search

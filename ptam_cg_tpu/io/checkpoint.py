@@ -83,7 +83,7 @@ def save_ba_state(path: str, state) -> None:
     for k, v in state.problem._asdict().items():
         arrays[f"prob.{k}"] = np.asarray(v)
     for k in ("lam", "lam_factor", "converged", "accepted", "iters",
-              "last_error"):
+              "last_error", "failed"):
         arrays[f"lm.{k}"] = np.asarray(getattr(state, k))
     tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, **arrays)
@@ -107,7 +107,9 @@ def load_ba_state(path: str):
         converged=jnp.asarray(data["lm.converged"]),
         accepted=jnp.asarray(data["lm.accepted"]),
         iters=jnp.asarray(data["lm.iters"]),
-        last_error=jnp.asarray(data["lm.last_error"]))
+        last_error=jnp.asarray(data["lm.last_error"]),
+        failed=(jnp.asarray(data["lm.failed"]) if "lm.failed" in data
+                else jnp.asarray(False)))
 
 
 def export_map_text(path_prefix: str, m: MapState) -> None:

@@ -25,6 +25,7 @@ abort-flag polling (ref: src/Bundle.cc:134, 338; src/MapMaker.cc:486-487).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -65,6 +66,10 @@ class LMState(NamedTuple):
     accepted: Array       # () int32 — number of accepted steps
     iters: Array          # () int32 — inner iterations consumed
     last_error: Array     # ()
+    failed: Array         # () bool — numerical failure; map likely corrupt
+    #                       (ref: Bundle::Compute returning -1,
+    #                       src/Bundle.cc:149-150 + solve NaN guards
+    #                       src/Bundle.cc:478-482)
 
 
 def init_lm(problem: BundleProblem, cfg: BundleConfig = BundleConfig()
@@ -74,7 +79,8 @@ def init_lm(problem: BundleProblem, cfg: BundleConfig = BundleConfig()
                    lam_factor=jnp.float32(cfg.lambda_factor_initial),
                    converged=jnp.asarray(False),
                    accepted=jnp.int32(0), iters=jnp.int32(0),
-                   last_error=jnp.float32(jnp.inf))
+                   last_error=jnp.float32(jnp.inf),
+                   failed=jnp.asarray(False))
 
 
 def _project_meas(cam_R, cam_t, pt_pos, prob: BundleProblem, cam: atan.Camera):
@@ -91,6 +97,11 @@ def _project_meas(cam_R, cam_t, pt_pos, prob: BundleProblem, cam: atan.Camera):
     pix = atan.project(z1, cam)
     eps = prob.meas_sqrt_inv_noise[:, None] * (prob.meas_pos - pix)
     err_sq = jnp.sum(eps * eps, axis=-1)
+    # Non-finite residuals (NaN point/measurement poisoning) are treated
+    # as failed projections so they get pruned instead of corrupting the
+    # accumulator sums (ref NaN guards: src/Bundle.cc:70-74, 478-482).
+    bad_proj = bad_proj | ~jnp.isfinite(err_sq)
+    err_sq = jnp.where(bad_proj, 0.0, err_sq)
     return p_cam, z1, eps, err_sq, bad_proj
 
 
@@ -153,10 +164,15 @@ def _accumulators(prob: BundleProblem, cam: atan.Camera, sigma_sq: Array,
         good, mest.objective(err_sq, sigma_sq, mest_kind), 0.0))
         + jnp.sum(new_bad.astype(jnp.float32)))
 
-    eps_w = eps * w_sqrt[:, None]
-    scale = prob.meas_sqrt_inv_noise * w_sqrt * good.astype(jnp.float32)
+    # Mask with where(), not multiplication: a pruned NaN measurement
+    # (bad projection / NaN point) times weight 0 is still NaN and would
+    # poison every accumulator sum.
+    eps_w = jnp.where(good[:, None], eps * w_sqrt[:, None], 0.0)
+    scale = prob.meas_sqrt_inv_noise * w_sqrt
     A, B = _jacobians(p_cam, z1, prob.cam_R[prob.meas_cam], cam, scale)
-    A = jnp.where(prob.cam_fixed[prob.meas_cam][:, None, None], 0.0, A)
+    A = jnp.where((good & ~prob.cam_fixed[prob.meas_cam])[:, None, None],
+                  A, 0.0)
+    B = jnp.where(good[:, None, None], B, 0.0)
 
     oh_c = jax.nn.one_hot(prob.meas_cam, C, dtype=jnp.float32)   # (M, C)
     AtA = jnp.einsum("mia,mib->mab", A, A).reshape(M, 36)
@@ -211,7 +227,7 @@ def lm_step(state: LMState, cam: atan.Camera,
 
     # ---- inner lambda loop ----------------------------------------------
     def try_lambda(carry):
-        lam, lam_factor, _, _, _, n_inner, _conv = carry
+        lam, lam_factor, _, _, _, n_inner, _conv, _upd = carry
 
         # V* inverse with lambda-augmented diagonal
         # (ref: src/Bundle.cc:341-359; zero if V is rank-deficient).
@@ -271,30 +287,42 @@ def lm_step(state: LMState, cam: atan.Camera,
             0.0)) + jnp.sum((new_bad | (active & nb)).astype(jnp.float32)))
 
         return (lam, lam_factor, new_R, new_t, new_pt, n_inner + 1,
-                conv), new_error
+                conv, upd_sq), new_error
 
     def cond_fn(full):
         carry, new_error = full
-        lam, lam_factor, _, _, _, n_inner, conv = carry
+        lam, lam_factor, _, _, _, n_inner, conv, _upd = carry
         hit_max = (state.iters + n_inner) >= cfg.max_iterations
-        return (new_error > current_error) & ~conv & ~hit_max
+        # NaN/inf trial errors count as "not improved" so the lambda-raise
+        # retry path also recovers from a numerically blown solve.
+        improved = new_error < current_error
+        return ~improved & ~conv & ~hit_max
 
     def body_fn(full):
         carry, _ = full
-        lam, lam_factor, R_, t_, p_, n_inner, conv = carry
+        lam, lam_factor, R_, t_, p_, n_inner, conv, upd = carry
         # Bad step: raise lambda (ref: ModifyLambda_BadStep,
         # src/Bundle.cc:606-611) and retry.
         lam_factor = lam_factor * 2.0
         lam = lam * lam_factor
-        return try_lambda((lam, lam_factor, R_, t_, p_, n_inner, conv))
+        return try_lambda((lam, lam_factor, R_, t_, p_, n_inner, conv,
+                           upd))
 
     first = try_lambda((state.lam, state.lam_factor, prob.cam_R,
                         prob.cam_t, prob.pt_pos, jnp.int32(0),
-                        jnp.asarray(False)))
-    (lam, lam_factor, new_R, new_t, new_pt, n_inner, conv), new_error = (
-        jax.lax.while_loop(cond_fn, body_fn, first))
+                        jnp.asarray(False), jnp.float32(0.0)))
+    ((lam, lam_factor, new_R, new_t, new_pt, n_inner, conv, upd_sq),
+     new_error) = jax.lax.while_loop(cond_fn, body_fn, first)
 
-    accept = new_error < current_error
+    # Numerical failure: the step never produced a finite error even after
+    # lambda escalation, or the baseline error itself is non-finite — the
+    # map is probably corrupt (ref: Bundle::Compute -> -1 on Cholesky
+    # failure, src/Bundle.cc:149-150; MapMaker ditches the map,
+    # src/MapMaker.cc:887-892).
+    failed = (~jnp.isfinite(new_error) | ~jnp.isfinite(current_error)
+              | ~jnp.isfinite(upd_sq))
+
+    accept = (new_error < current_error) & ~failed
     # Good step: lambda *= 0.3, factor reset (ref: ModifyLambda_GoodStep).
     lam = jnp.where(accept, jnp.maximum(lam * cfg.lambda_good_mult, 1e-10),
                     lam)
@@ -313,7 +341,18 @@ def lm_step(state: LMState, cam: atan.Camera,
                    converged=state.converged | conv,
                    accepted=state.accepted + accept.astype(jnp.int32),
                    iters=state.iters + n_inner,
-                   last_error=new_error)
+                   last_error=new_error,
+                   failed=state.failed | failed)
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_lm_step(cfg: BundleConfig, mest_kind: int):
+    """One jitted LM step per (cfg, estimator), with the camera passed as
+    a traced ARGUMENT: re-jitting a fresh lambda per ``compute`` call (the
+    round-1 design) made every BA invocation retrace+recompile — ~seconds
+    on CPU and 1-3 MINUTES per BA call on the remote-compile TPU backend.
+    """
+    return jax.jit(lambda s, cam: lm_step(s, cam, cfg, mest_kind))
 
 
 def compute(problem: BundleProblem, cam: atan.Camera,
@@ -326,13 +365,18 @@ def compute(problem: BundleProblem, cam: atan.Camera,
     jitted-chunk equivalent of the reference's abort-flag polling.
     Returns (final LMState, n_steps_run).
     """
-    step = jax.jit(lambda s: lm_step(s, cam, cfg, mest_kind))
+    cached = _cached_lm_step(cfg, mest_kind)
+    step = lambda s: cached(s, cam)
     state = init_lm(problem, cfg)
     n = 0
     while (not bool(state.converged)
            and int(state.iters) < cfg.max_iterations):
         state = step(state)
         n += 1
+        if bool(state.failed):
+            # Numerical blow-up: the caller must ditch the map
+            # (ref: src/Bundle.cc:149-150, src/MapMaker.cc:887-892).
+            break
         if abort_check is not None and abort_check():
             break
     return state, n

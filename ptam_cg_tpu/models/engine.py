@@ -69,6 +69,7 @@ class SLAMEngine:
                  auto_init_frames: Optional[int] = 6,
                  async_mapping: bool = False):
         self.cfg = cfg
+        trklib.validate_config(cfg.tracker)
         self.image_size = image_size or cfg.camera.image_size
         self.cam = atan.make_camera(cfg.camera.params, self.image_size)
         self.cam_params = jnp.asarray(cfg.camera.params, jnp.float32)
@@ -98,7 +99,7 @@ class SLAMEngine:
         self._track = jax.jit(
             lambda s, m, f, ps: trklib.track_frame(
                 s, m, f, ps, self.cam, self.image_size, self.cam_params,
-                None, cfg.tracker))
+                None, cfg.tracker, cfg.mapmaker.wiggle_scale))
         W, H = self.image_size
         self._sbi_size = ((H >> 3) // 2, (W >> 3) // 2)
         self._reloc = jax.jit(lambda m, sbi: reloclib.attempt_recovery(
@@ -242,6 +243,18 @@ class SLAMEngine:
                         self.frames_since_kf = 0
 
         elif self.stage == Stage.TRACKING:
+            # BA numerical failure -> map is probably corrupt: ditch it
+            # (ref: src/MapMaker.cc:887-892 + reset handshake
+            # src/Tracker.cc:67-77).
+            if self.mapmaker.reset_requested:
+                self.reset()
+                self.prev_features = features
+                self.frame_idx += 1
+                return FrameInfo(
+                    pose=se3lib.identity(), stage=self.stage.name,
+                    quality=trklib.QUALITY_BAD, n_found=0, n_points=0,
+                    n_kfs=0,
+                    added_kf=False, relocalized=False)
             st = self.tracker_state
             # Relocalize if lost (ref: src/Tracker.cc:168-176, 196-207).
             if int(st.lost_frames) > self.cfg.tracker.max_lost_frames:

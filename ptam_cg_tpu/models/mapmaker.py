@@ -507,6 +507,9 @@ class MapMaker:
         self._map_dirty = False
         self.converged_recent = True
         self.converged_full = True
+        #: Set when BA blows up numerically — the engine must ditch the
+        #: map (ref: src/MapMaker.cc:887-892 "Ditching the map").
+        self.reset_requested = False
         self.kf_queue: list = []          # [(FrameFeatures, pose, meas)]
         self.wiggle_depth_norm = 1.0
         self.key = jax.random.PRNGKey(seed)
@@ -530,6 +533,12 @@ class MapMaker:
         abort = (lambda: len(self.kf_queue) > 0)
         state, _ = bundlelib.compute(prob, self.cam, self.ba_cfg,
                                      abort_check=abort)
+        if bool(state.failed):
+            # Cholesky/NaN blow-up: the map is probably corrupt — do NOT
+            # apply the results; request a full reset instead
+            # (ref: src/MapMaker.cc:887-892).
+            self.reset_requested = True
+            return
         self.map, retry = apply_bundle(self.map, state.problem, mk, mp,
                                        adjust_kf, point_mask)
         self.failure_mask = self.failure_mask | retry
@@ -663,7 +672,7 @@ class MapMaker:
     def step(self, newest_kf: Optional[int] = None):
         """One pass of the mapping priority hierarchy
         (ref: MapMaker::run, src/MapMaker.cc:82-113)."""
-        if not bool(self.map.good):
+        if self.reset_requested or not bool(self.map.good):
             return
         if not self.converged_recent and not self.kf_queue \
                 and newest_kf is not None:

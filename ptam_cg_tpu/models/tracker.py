@@ -98,6 +98,35 @@ class TrackResult(NamedTuple):
     outlier_delta: Array    # (P,) int32
 
 
+def validate_config(cfg: TrackerConfig) -> None:
+    """Reject configs whose value-level search radii exceed the static
+    window ``R_WIN`` — otherwise ``ssd_search`` would silently truncate
+    the search (the window it examines is r_win-bounded regardless of the
+    requested radius). Checks every eligible level including the
+    just-recovered doubled coarse range (ref: src/Tracker.cc:505-516).
+    """
+    import math
+
+    # Coarse stage runs at levels >= LEVELS-2; worst radius is at the
+    # lowest eligible level with the doubled just-recovered range.
+    worst_coarse = math.ceil(2.0 * cfg.coarse_range / (1 << (LEVELS - 2)))
+    if worst_coarse > R_WIN:
+        raise ValueError(
+            f"TrackerConfig.coarse_range={cfg.coarse_range} needs a "
+            f"search radius of {worst_coarse} level-px at level "
+            f"{LEVELS - 2} (just-recovered doubling), but the static "
+            f"search window is R_WIN={R_WIN}. Reduce coarse_range to "
+            f"<= {R_WIN * (1 << (LEVELS - 2)) // 2}.")
+    # Fine stage runs at any level; worst radius is at level 0.
+    worst_fine = math.ceil(max(cfg.fine_range_after_coarse,
+                               cfg.fine_range_no_coarse))
+    if worst_fine > R_WIN:
+        raise ValueError(
+            f"TrackerConfig fine range {worst_fine} exceeds the static "
+            f"search window R_WIN={R_WIN} at level 0. Reduce "
+            f"fine_range_after_coarse/fine_range_no_coarse to <= {R_WIN}.")
+
+
 def _topk_pad(keys: Array, cap: int) -> Array:
     """top_k indices padded to ``cap`` when the array is smaller than the
     capacity (small test maps)."""
@@ -422,7 +451,9 @@ class FrameOutput(NamedTuple):
 def track_frame(state: TrackerState, m: MapState, frame: FrameFeatures,
                 prev_sbi: sbiops.SBI, cam: atan.Camera, image_size,
                 cam_params: Array, key: Array | None = None,
-                cfg: TrackerConfig = TrackerConfig()) -> FrameOutput:
+                cfg: TrackerConfig = TrackerConfig(),
+                wiggle_scale: float = 0.1,
+                point_filter: Array | None = None) -> FrameOutput:
     """Full per-frame step once the map is good
     (ref: Tracker::TrackFrame, src/Tracker.cc:86-188): motion-model
     predict (+ SBI rotation seed), TrackMap, motion-model update,
@@ -451,8 +482,15 @@ def track_frame(state: TrackerState, m: MapState, frame: FrameFeatures,
         score = jnp.float32(0.0)
     pred_pose = se3lib.mul(se3lib.se3_exp(vel), start_pose)
 
+    # TrackMapLocal: PVS restricted to points seen by the nearest KFs
+    # (ref: src/Tracker.cc:700-857). Static config flag — compiles a
+    # separate variant; the mask itself is cheap (top_k over K).
+    if cfg.track_local and point_filter is None:
+        point_filter = local_point_mask(m, pred_pose, cfg.track_local_kfs)
+
     res = track_map(m, frame, pred_pose, cam, image_size, k_frame,
-                    state.msd_vel, state.just_recovered, cfg)
+                    state.msd_vel, state.just_recovered, cfg,
+                    point_filter=point_filter)
 
     # --- UpdateMotionModel (ref: src/Tracker.cc:1035-1056) ---
     motion = se3lib.se3_log(se3lib.mul(res.pose, se3lib.inv(start_pose)))
@@ -473,11 +511,19 @@ def track_frame(state: TrackerState, m: MapState, frame: FrameFeatures,
     large_frac = jnp.where(
         large_att > 10,
         large_found / jnp.maximum(large_att, 1).astype(jnp.float32), frac)
+    # DODGY branch: a camera far from every keyframe is treated as lost
+    # even if some patches still match (ref: src/Tracker.cc:1095-1101,
+    # dDist > GetWiggleScale() * 10 -> BAD).
+    from ptam_cg_tpu.models import map_state as ms
+    kf_dist = jnp.min(ms.closest_kf_distances(m, res.pose))
+    far_from_map = kf_dist > cfg.quality_max_kf_dist_mult * wiggle_scale
     quality = jnp.where(
         (total_found == 0) | (total_att == 0), QUALITY_BAD,
         jnp.where(frac > cfg.tracking_quality_good, QUALITY_GOOD,
                   jnp.where(large_frac < cfg.tracking_quality_lost,
-                            QUALITY_BAD, QUALITY_DODGY)))
+                            QUALITY_BAD,
+                            jnp.where(far_from_map, QUALITY_BAD,
+                                      QUALITY_DODGY))))
     lost = jnp.where(quality == QUALITY_BAD, state.lost_frames + 1, 0)
 
     new_state = TrackerState(
@@ -501,7 +547,9 @@ def track_frame_from_image(state: TrackerState, m: MapState, im: Array,
                            prev_sbi, cam: atan.Camera, image_size,
                            cam_params: Array,
                            cfg: TrackerConfig = TrackerConfig(),
-                           frontend_cfg=None) -> FusedFrameOutput:
+                           frontend_cfg=None, wiggle_scale: float = 0.1,
+                           point_filter: Array | None = None
+                           ) -> FusedFrameOutput:
     """Fused per-frame step: frontend build (MakeKeyFrame_Lite
     equivalent) + track_frame in ONE jitted program — one device
     dispatch per frame instead of two (each dispatch costs ~0.3-0.8 ms
@@ -515,7 +563,7 @@ def track_frame_from_image(state: TrackerState, m: MapState, im: Array,
         frontend_cfg = FrontendConfig()
     ff = kflib.build_frame_tracking(im, frontend_cfg)
     out = track_frame(state, m, ff, prev_sbi, cam, image_size,
-                      cam_params, None, cfg)
+                      cam_params, None, cfg, wiggle_scale, point_filter)
     return FusedFrameOutput(state=out.state, result=out.result,
                             sbi_score=out.sbi_score, sbi=ff.sbi,
                             sbi_track=ff.sbi_track)

@@ -261,6 +261,11 @@ def ssd_search(atlas: Array, corner_mask: Array, templates: Array,
 
     ZMSSD formula matches ImageProcess::ZMSSDAtPoint exactly
     (ref: src/ImageProcess.cc:130-163).
+
+    INVARIANT: the examined window is ``r_win``-bounded regardless of the
+    value-level ``radius`` — a radius > r_win would be silently truncated.
+    Callers must guarantee radius <= r_win (the tracker validates its
+    config via ``models.tracker.validate_config``).
     """
     N = templates.shape[0]
     P = patch_size

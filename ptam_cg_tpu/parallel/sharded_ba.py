@@ -187,7 +187,7 @@ def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
         meas_sqrt_inv_noise=shd, meas_valid=shd, meas_bad=shd)
     state_spec = LMState(problem=prob_spec, lam=repl, lam_factor=repl,
                          converged=repl, accepted=repl, iters=repl,
-                         last_error=repl)
+                         last_error=repl, failed=repl)
 
     def step(state: LMState) -> LMState:
         prob = state.problem            # local views inside shard_map
@@ -215,7 +215,7 @@ def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
         free_f = free.astype(jnp.float32)
 
         def try_lambda(carry):
-            lam, lam_factor, _, _, _, n_inner, _c = carry
+            lam, lam_factor, _, _, _, n_inner, _c, _u = carry
             Vstar = V * (jnp.ones((3, 3)) + lam * jnp.eye(3))
             diag_prod = V[:, 0, 0] * V[:, 1, 1] * V[:, 2, 2]
             Vinv = patchops.inv3x3(Vstar + 1e-12 * jnp.eye(3))
@@ -270,28 +270,34 @@ def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
                                 .astype(jnp.float32)))
             new_error = jax.lax.psum(nerr_local, axis)
             return (lam, lam_factor, new_R, new_t, new_pt, n_inner + 1,
-                    conv), new_error
+                    conv, upd_sq), new_error
 
         def cond_fn(full):
             carry, new_error = full
-            *_, n_inner, conv = carry
+            *_, n_inner, conv, _u = carry
             hit_max = (state.iters + n_inner) >= cfg.max_iterations
-            return (new_error > current_error) & ~conv & ~hit_max
+            # NaN counts as "not improved" — retry with a larger lambda.
+            return ~(new_error < current_error) & ~conv & ~hit_max
 
         def body_fn(full):
             carry, _ = full
-            lam, lam_factor, R_, t_, p_, n_inner, conv = carry
+            lam, lam_factor, R_, t_, p_, n_inner, conv, upd = carry
             lam_factor = lam_factor * 2.0
             lam = lam * lam_factor
-            return try_lambda((lam, lam_factor, R_, t_, p_, n_inner, conv))
+            return try_lambda((lam, lam_factor, R_, t_, p_, n_inner, conv,
+                               upd))
 
         first = try_lambda((state.lam, state.lam_factor, prob.cam_R,
                             prob.cam_t, prob.pt_pos, jnp.int32(0),
-                            jnp.asarray(False)))
-        (lam, lam_factor, new_R, new_t, new_pt, n_inner,
-         conv), new_error = jax.lax.while_loop(cond_fn, body_fn, first)
+                            jnp.asarray(False), jnp.float32(0.0)))
+        ((lam, lam_factor, new_R, new_t, new_pt, n_inner, conv, upd_sq),
+         new_error) = jax.lax.while_loop(cond_fn, body_fn, first)
 
-        accept = new_error < current_error
+        # Numerical failure — see models/bundle.py lm_step (ref:
+        # src/Bundle.cc:149-150).
+        failed = (~jnp.isfinite(new_error) | ~jnp.isfinite(current_error)
+                  | ~jnp.isfinite(upd_sq))
+        accept = (new_error < current_error) & ~failed
         lam = jnp.where(accept,
                         jnp.maximum(lam * cfg.lambda_good_mult, 1e-10),
                         lam)
@@ -306,7 +312,8 @@ def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
         return LMState(problem=new_prob, lam=lam, lam_factor=lam_factor,
                        converged=state.converged | conv,
                        accepted=state.accepted + accept.astype(jnp.int32),
-                       iters=state.iters + n_inner, last_error=new_error)
+                       iters=state.iters + n_inner, last_error=new_error,
+                       failed=state.failed | failed)
 
     sharded = jax.shard_map(step, mesh=mesh, in_specs=(state_spec,),
                             out_specs=state_spec, check_vma=False)
@@ -348,6 +355,8 @@ def compute_sharded(problem: BundleProblem, mesh: Mesh, cam: atan.Camera,
            and int(state.iters) < cfg.max_iterations):
         state = step(state)
         n += 1
+        if bool(state.failed):
+            break
         if checkpoint_path is not None and n % checkpoint_every == 0:
             from ptam_cg_tpu.io.checkpoint import save_ba_state
             save_ba_state(checkpoint_path, state)

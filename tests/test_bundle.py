@@ -164,3 +164,40 @@ def test_ba_abort_between_steps():
 
     state, n = bundle.compute(prob, cam, abort_check=abort)
     assert n == 1
+
+
+def test_nan_point_measurements_pruned_not_poisoning():
+    """A NaN map point's measurements become bad projections and get
+    pruned; the solve stays finite (ref NaN guards:
+    src/Bundle.cc:70-74, 478-482)."""
+    prob, cam, gt, _ = make_problem(perturb_cams=0.02, perturb_pts=0.02)
+    pts = np.asarray(prob.pt_pos).copy()
+    pts[3] = np.nan
+    prob = prob._replace(pt_pos=jnp.asarray(pts))
+    state, n = bundle.compute(prob, cam)
+    assert not bool(state.failed)
+    assert np.isfinite(float(state.last_error))
+    # The poisoned point's measurements were all marked bad.
+    poisoned = np.asarray(prob.meas_pt) == 3
+    active = np.asarray(prob.meas_valid)
+    assert np.all(np.asarray(state.problem.meas_bad)[poisoned & active])
+    # Everything the solver produced is finite (except the NaN input
+    # point itself, which nothing updates).
+    out_pts = np.asarray(state.problem.pt_pos)
+    assert np.isfinite(out_pts[np.arange(len(out_pts)) != 3]).all()
+    assert np.isfinite(np.asarray(state.problem.cam_t)).all()
+
+
+def test_blown_solve_sets_failed_flag():
+    """A problem whose normal equations overflow float32 during the
+    solve (finite but absurd noise scaling) must set LMState.failed so
+    the MapMaker can ditch the map (ref: Bundle::Compute -> -1,
+    src/Bundle.cc:149-150)."""
+    prob, cam, gt, _ = make_problem(perturb_cams=0.02, perturb_pts=0.02)
+    noise = np.asarray(prob.meas_sqrt_inv_noise).copy()
+    # Finite residuals (err_sq < f32 max) but J^T J overflows -> inf/NaN
+    # inside the Schur solve, which no input sanitizer can catch.
+    noise[np.asarray(prob.meas_valid)] = 1e18
+    prob = prob._replace(meas_sqrt_inv_noise=jnp.asarray(noise))
+    state, n = bundle.compute(prob, cam)
+    assert bool(state.failed)

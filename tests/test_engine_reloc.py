@@ -51,3 +51,41 @@ def test_lost_then_relocalize():
     assert relocalized
     assert info.quality == 2, info
     assert info.n_found > 50
+
+
+@pytest.mark.slow
+def test_poisoned_ba_ditches_map():
+    """BA numerical failure -> MapMaker.reset_requested -> full engine
+    reset on the next frame (ref: src/MapMaker.cc:887-892 "Ditching the
+    map" + Bundle::Compute -1, src/Bundle.cc:149-150)."""
+    seq = synth.SyntheticSequence(REF_PARAMS, image_size=SIZE,
+                                  n_frames=16, seed=5, height=1.5,
+                                  radius=0.35, sweep=1.3)
+    cfg = EngineConfig(
+        camera=CameraConfig(params=REF_PARAMS, image_size=SIZE),
+        mapmaker=MapMakerConfig(candidate_min_shi_tomasi_score=70.0))
+    eng = engine_lib.SLAMEngine(cfg, image_size=SIZE, max_points=1024,
+                                max_kfs=8, auto_init_frames=6, seed=0)
+    for i in range(10):
+        info = eng.process_frame(seq.frame(i))
+    assert info.stage == "TRACKING"
+
+    # Simulate the BA solve blowing up: MapMaker.bundle_adjust would set
+    # reset_requested when LMState.failed (covered by
+    # tests/test_bundle.py::test_blown_solve_sets_failed_flag and
+    # test_mapmaker_units.py::test_bundle_adjust_failure_requests_reset);
+    # here we verify the engine's ditch-the-map reaction on real frames.
+    eng.mapmaker.reset_requested = True
+    info = eng.process_frame(seq.frame(10))
+    assert info.stage == "NOT_STARTED"
+    assert info.n_points == 0 and info.n_kfs == 0
+    assert not eng.mapmaker.reset_requested  # fresh MapMaker after reset
+
+    # The engine must be able to re-initialize afterwards.
+    reinit = False
+    for i in list(range(16)) + list(range(16)):
+        info = eng.process_frame(seq.frame(i))
+        if info.stage == "TRACKING":
+            reinit = True
+            break
+    assert reinit

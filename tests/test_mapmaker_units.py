@@ -177,3 +177,32 @@ def test_epipolar_drops_points_when_map_full():
     out, n, mask = mmod.add_points_epipolar(m, 1, 0, 0, cam, SIZE, 0.1)
     assert int(n) == 0
     assert int(out.point_valid.sum()) == 8
+
+
+def test_bundle_adjust_failure_requests_reset(monkeypatch):
+    """A failed LM solve must set reset_requested and leave the map
+    untouched (ref: src/MapMaker.cc:887-892)."""
+    from ptam_cg_tpu.camera import atan
+    from ptam_cg_tpu.models import bundle as bundlelib
+
+    m = base_map()
+    m = m._replace(kf_valid=m.kf_valid.at[:2].set(True),
+                   point_valid=m.point_valid.at[:8].set(True),
+                   meas_valid=m.meas_valid.at[:2, :8].set(True),
+                   good=jnp.asarray(True))
+    cam = atan.make_camera((1.0, 1.0, 0.5, 0.5, 0.1), SIZE)
+    maker = mm.MapMaker(m, cam, SIZE)
+    before = maker.map
+
+    def fake_compute(prob, cam_, cfg, abort_check=None, **kw):
+        st = bundlelib.init_lm(prob, cfg)
+        return st._replace(failed=jnp.asarray(True)), 1
+
+    monkeypatch.setattr(bundlelib, "compute", fake_compute)
+    maker.bundle_adjust_all()
+    assert maker.reset_requested
+    # Map untouched: failed results were not applied.
+    np.testing.assert_array_equal(np.asarray(maker.map.kf_t),
+                                  np.asarray(before.kf_t))
+    # A reset-requested MapMaker refuses further work.
+    assert maker.step(None) is None

@@ -218,3 +218,61 @@ def test_track_map_with_point_filter(setup):
     mv = np.asarray(res.meas_valid)
     assert mv.sum() > 10
     assert np.asarray(res.meas_point)[mv].max() < 100
+
+
+def test_quality_far_from_kfs_goes_bad(setup):
+    """DODGY-branch lost check: a camera far from every keyframe demotes
+    to BAD (ref: src/Tracker.cc:1095-1101 dDist > WiggleScale*10)."""
+    seq, cam, m, ff0 = setup
+    frame1 = keyframe.build_frame(seq.frame(1), candidate_min_score=100.0)
+    state = tracker.init_tracker_state(seq.pose(0))
+    # Force the DODGY fraction band: GOOD unreachable, BAD-by-fraction
+    # unreachable -> quality is decided purely by the KF-distance check.
+    cfg = TrackerConfig(tracking_quality_good=1.01,
+                        tracking_quality_lost=0.0)
+    cam_params = jnp.asarray(REF_PARAMS, jnp.float32)
+    out_near = tracker.track_frame(state, m, frame1, ff0.sbi_track, cam,
+                                   SIZE, cam_params, jax.random.PRNGKey(2),
+                                   cfg, wiggle_scale=0.1)
+    assert int(out_near.state.quality) == tracker.QUALITY_DODGY
+    # Tiny wiggle scale -> any distance counts as "far" -> BAD.
+    out_far = tracker.track_frame(state, m, frame1, ff0.sbi_track, cam,
+                                  SIZE, cam_params, jax.random.PRNGKey(2),
+                                  cfg, wiggle_scale=1e-9)
+    assert int(out_far.state.quality) == tracker.QUALITY_BAD
+    assert int(out_far.state.lost_frames) == 1
+
+
+def test_track_local_config_flag(setup):
+    """TrackerConfig.track_local restricts the PVS to the nearest KFs'
+    points inside the jitted step (ref: TrackMapLocal,
+    src/Tracker.cc:700-857)."""
+    seq, cam, m, ff0 = setup
+    # The fixture map has no measurement rows; mark only the first 200
+    # points as measured by KF 0 — the local mask must restrict to them.
+    P = m.point_pos.shape[0]
+    measured = (jnp.arange(P) < 200) & m.point_valid
+    m2 = m._replace(meas_valid=m.meas_valid.at[0].set(measured))
+    frame1 = keyframe.build_frame(seq.frame(1), candidate_min_score=100.0)
+    state = tracker.init_tracker_state(seq.pose(0))
+    cfg = TrackerConfig(track_local=True)
+    out = tracker.track_frame(
+        state, m2, frame1, ff0.sbi_track, cam, SIZE,
+        jnp.asarray(REF_PARAMS, jnp.float32), jax.random.PRNGKey(2), cfg)
+    # Tracking still works from the restricted PVS…
+    r, t = pose_errors(out.state.pose, seq.pose(1))
+    assert r < 0.01 and t < 0.05
+    # …and never measures a point outside the local mask.
+    mv = np.asarray(out.result.meas_valid)
+    pts = np.asarray(out.result.meas_point)[mv]
+    assert pts.max() < 200
+
+
+def test_validate_config_rejects_oversized_ranges():
+    """radius > R_WIN configs must raise, not silently truncate the
+    search window."""
+    tracker.validate_config(TrackerConfig())  # defaults are fine
+    with pytest.raises(ValueError):
+        tracker.validate_config(TrackerConfig(coarse_range=40.0))
+    with pytest.raises(ValueError):
+        tracker.validate_config(TrackerConfig(fine_range_no_coarse=20.0))
