@@ -23,6 +23,9 @@ def main():
                     help="write a JAX profiler trace (XPlane) to DIR")
     ap.add_argument("--async-mapping", action="store_true",
                     help="run mapping jobs on a background thread")
+    ap.add_argument("--ar", default=None, metavar="DIR",
+                    help="write AR composites (EyeGame-parity eyeballs "
+                         "tracking the camera) for tracked frames")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +54,20 @@ def main():
                                 max_kfs=12, auto_init_frames=6,
                                 seed=args.seed,
                                 async_mapping=args.async_mapping)
+    ar_step = None
+    if args.ar:
+        from ptam_cg_tpu.viz import ar as arlib
+        from ptam_cg_tpu.viz import mapviewer
+        Path(args.ar).mkdir(parents=True, exist_ok=True)
+
+        def _ar(frame_, R, t):
+            pose = SE3(R, t)
+            verts, tris, shades = arlib.make_eye_game(-R.T @ t)
+            return arlib.render_ar_frame(frame_, pose, eng.cam, size,
+                                         verts, tris, shades,
+                                         ufb_size=size)
+        ar_step = jax.jit(_ar)
+
     est, gt, times = [], [], []
     prof = None
     for i in range(args.frames):
@@ -73,6 +90,13 @@ def main():
                 SE3(info.pose.R[None], info.pose.t[None])))[0])
             c = seq.pose(i)
             gt.append(np.asarray(-jnp.asarray(c.R).T @ jnp.asarray(c.t)))
+            if ar_step is not None:
+                from ptam_cg_tpu.viz import mapviewer
+                out = np.asarray(ar_step(jnp.asarray(frame, jnp.float32),
+                                         info.pose.R, info.pose.t))
+                mapviewer.save_ppm(
+                    str(Path(args.ar) / f"ar_{i:05d}.ppm"),
+                    np.repeat(np.clip(out, 0, 255)[..., None], 3, -1))
 
     if len(est) > 5:
         ate = evaluate.ate_rmse(jnp.asarray(np.stack(est)),

@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--native", action="store_true",
                     help="use the C++ prefetching frame pump")
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--ar", default=None, metavar="OUT_DIR",
+                    help="write AR-composited frames (EyeGame-parity "
+                         "eyeballs on the dominant plane) as PPMs")
+    ap.add_argument("--ar-every", type=int, default=5,
+                    help="render every Nth tracked frame with --ar")
     ap.add_argument("--map", default=None,
                     help="write a top-down map render (PPM) at the end")
     ap.add_argument("--checkpoint", default=None,
@@ -75,6 +80,22 @@ def main():
     except FileNotFoundError:
         pass
 
+    ar_step = None
+    if args.ar:
+        from ptam_cg_tpu.viz import ar as arlib
+        Path(args.ar).mkdir(parents=True, exist_ok=True)
+
+        def _ar(frame_, R, t):
+            from ptam_cg_tpu.utils.se3 import SE3 as _SE3
+            import jax.numpy as jnp
+            pose = _SE3(R, t)
+            c = -R.T @ t
+            verts, tris, shades = arlib.make_eye_game(c)
+            return arlib.render_ar_frame(frame_, pose, eng.cam, size,
+                                         verts, tris, shades,
+                                         ufb_size=size)
+        ar_step = jax.jit(_ar)
+
     est_centers, gt_centers, times, traj = [], [], [], []
     frame = f0
     ts = ts0
@@ -96,6 +117,13 @@ def main():
             if gt is not None:
                 k = int(np.argmin(np.abs(gt[0] - ts)))
                 gt_centers.append(gt[1][k])
+            if ar_step is not None and i % args.ar_every == 0:
+                out = np.asarray(ar_step(jnp.asarray(frame, jnp.float32),
+                                         info.pose.R, info.pose.t))
+                mapviewer.save_ppm(
+                    str(Path(args.ar) / f"ar_{i:05d}.ppm"),
+                    np.repeat(np.clip(out, 0, 255)[..., None], 3,
+                              axis=-1))
         if i + 1 < n_frames:
             try:
                 ts, frame = next(frame_iter)

@@ -183,6 +183,13 @@ class FrontendConfig:
     #: trail search range (ref: include/ImageProcess.h:43 10 px).
     mini_patch_max_ssd: float = 100000.0
     mini_patch_range: int = 10
+    #: Store the packed pyramid atlas in bfloat16: halves the HBM traffic
+    #: of the window gathers and runs the one-hot row/column selection
+    #: dots at bf16 MXU rate. The reference's image precision is uint8
+    #: (ref: src/ImageProcess.cc:130-163 operates on byte images), so the
+    #: ~0.5-graylevel bf16 rounding is within spec; all ZMSSD/subpix math
+    #: stays float32 (gathers convert on output).
+    atlas_bf16: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

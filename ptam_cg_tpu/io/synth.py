@@ -94,6 +94,74 @@ def render_plane(cam: atan.Camera, T_cw: SE3, texture: Array,
     return jnp.where(hit, vals, 0.0)
 
 
+def render_scene(cam: atan.Camera, T_cw: SE3, texture: Array,
+                 image_size: Tuple[int, int], boxes: Array,
+                 tex_scale: float = 256.0) -> Array:
+    """Render the z=0 plane PLUS raised axis-aligned blocks standing on
+    it — the non-planar scene with genuine parallax and occlusion (the
+    reference's real operating environment is a desk with objects on it;
+    the homography init treats off-plane structure as MLESAC outliers,
+    ref: src/HomographyInit.cc:179-230).
+
+    ``boxes``: (B, 4) rows [cx, cy, half_xy, height]; each block spans
+    x,y in [c-half, c+half] and z in [-height, 0] (cameras look from
+    negative z). Blocks are textured from the same texture with per-face
+    shading so their sides differ from their tops.
+    """
+    W, H = image_size
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    pix = jnp.stack([xs, ys], axis=-1)
+    z1 = atan.unproject(pix, cam)
+    ray_cam = jnp.concatenate([z1, jnp.ones_like(z1[..., :1])], axis=-1)
+    T_wc = se3lib.inv(T_cw)
+    origin = T_wc.t
+    dir_w = ray_cam @ T_wc.R.T                            # (H, W, 3)
+
+    dz = dir_w[..., 2]
+    s_plane = -origin[2] / jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
+    plane_ok = (s_plane > 0.05) & (jnp.abs(dz) > 1e-6)
+    best_s = jnp.where(plane_ok, s_plane, jnp.inf)
+    best_shade = jnp.ones((H, W), jnp.float32)
+
+    inv_d = 1.0 / jnp.where(jnp.abs(dir_w) < 1e-9, 1e-9, dir_w)
+    for b in range(boxes.shape[0]):
+        cx, cy, half, h = boxes[b]
+        lo = jnp.stack([cx - half, cy - half, -h])
+        hi = jnp.stack([cx + half, cy + half, jnp.float32(0.0)])
+        t0 = (lo - origin) * inv_d                        # (H, W, 3)
+        t1 = (hi - origin) * inv_d
+        tmin3 = jnp.minimum(t0, t1)
+        tmax3 = jnp.maximum(t0, t1)
+        tmin = jnp.max(tmin3, axis=-1)
+        tmax = jnp.min(tmax3, axis=-1)
+        hit = (tmax > jnp.maximum(tmin, 0.05)) & (tmin < best_s)
+        # Face shading: which slab bounds the entry point.
+        enter_axis = jnp.argmax(tmin3, axis=-1)           # 0=x,1=y,2=z
+        shade = jnp.where(enter_axis == 2, 1.0,
+                          jnp.where(enter_axis == 0, 0.72, 0.55))
+        best_shade = jnp.where(hit, shade, best_shade)
+        best_s = jnp.where(hit, tmin, best_s)
+
+    hit_any = jnp.isfinite(best_s)
+    p_w = origin + best_s[..., None] * dir_w
+    vals = _tex_sample(texture, p_w[..., :2] * tex_scale) * best_shade
+    return jnp.where(hit_any, vals, 0.0)
+
+
+def default_blocks(seed: int = 0, n: int = 5) -> Array:
+    """A scatter of low raised blocks near the origin (heights a modest
+    fraction of the 1.5 camera height so the dominant plane still wins
+    the stereo init, like objects on the reference's desk)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    cx = rng.uniform(-0.6, 0.6, n)
+    cy = rng.uniform(-0.45, 0.45, n)
+    half = rng.uniform(0.05, 0.14, n)
+    h = rng.uniform(0.05, 0.16, n)
+    return jnp.asarray(np.stack([cx, cy, half, h], -1), jnp.float32)
+
+
 def render_checkerboard(cam: atan.Camera, T_cw: SE3,
                         image_size: Tuple[int, int],
                         dark: float = 40.0, light: float = 210.0,
@@ -164,16 +232,26 @@ class SyntheticSequence:
 
     def __init__(self, cam_params, image_size=(640, 480), n_frames=100,
                  seed=0, height=1.5, radius=0.25, sweep=0.8,
-                 tex_scale=256.0):
+                 tex_scale=256.0, boxes=None):
+        """``boxes``: optional (B, 4) raised-block array (see
+        ``render_scene``) for a non-planar scene with occlusion; None
+        renders the plane only."""
         self.cam = atan.make_camera(cam_params, image_size)
         self.image_size = image_size
         self.n_frames = n_frames
         self.texture = make_texture(jax.random.PRNGKey(seed))
         self.poses = orbit_trajectory(n_frames, height, radius, sweep)
         self.tex_scale = tex_scale
-        self._render = jax.jit(
-            lambda T: render_plane(self.cam, T, self.texture,
-                                   self.image_size, self.tex_scale))
+        self.boxes = boxes
+        if boxes is None:
+            self._render = jax.jit(
+                lambda T: render_plane(self.cam, T, self.texture,
+                                       self.image_size, self.tex_scale))
+        else:
+            self._render = jax.jit(
+                lambda T: render_scene(self.cam, T, self.texture,
+                                       self.image_size, boxes,
+                                       self.tex_scale))
 
     def pose(self, i: int) -> SE3:
         return SE3(self.poses.R[i], self.poses.t[i])

@@ -121,15 +121,43 @@ def load_groundtruth(root: str, fname: str = "groundtruth.txt"):
             np.array(quat, np.float32))
 
 
-def write_synthetic_dataset(root: str, frames, timestamps=None):
-    """Write frames as a TUM-layout dataset with .npy images — lets the
-    synthetic harness exercise the exact dataset-replay path."""
+def write_synthetic_dataset(root: str, frames, timestamps=None,
+                            poses=None, png: bool = False):
+    """Write frames as a TUM-layout dataset (.npy images, or 8-bit PNGs
+    with ``png=True`` when PIL is available) — lets the synthetic
+    harness exercise the exact dataset-replay path.
+
+    ``poses``: optional list of world->camera SE3s; writes a TUM-format
+    ``groundtruth.txt`` (camera-to-world, ``ts tx ty tz qx qy qz qw``).
+    """
     os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
     lines = ["# synthetic dataset", "# timestamp filename"]
+    tss = []
     for i, frame in enumerate(frames):
         ts = timestamps[i] if timestamps is not None else i / 25.0
-        rel = f"rgb/{i:06d}.npy"
-        np.save(os.path.join(root, rel), np.asarray(frame, np.float32))
+        tss.append(ts)
+        arr = np.asarray(frame, np.float32)
+        if png:
+            from PIL import Image
+            rel = f"rgb/{i:06d}.png"
+            Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8)).save(
+                os.path.join(root, rel))
+        else:
+            rel = f"rgb/{i:06d}.npy"
+            np.save(os.path.join(root, rel), arr)
         lines.append(f"{ts:.6f} {rel}")
     with open(os.path.join(root, "rgb.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
+    if poses is not None:
+        from ptam_cg_tpu.utils import se3 as se3lib
+        glines = ["# ground truth trajectory",
+                  "# timestamp tx ty tz qx qy qz qw"]
+        for ts, p in zip(tss, poses):
+            T = se3lib.inv(p)                      # camera-to-world
+            q = np.asarray(se3lib.quat_from_rot(T.R))   # wxyz
+            c = np.asarray(T.t)
+            glines.append(
+                f"{ts:.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+                f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}")
+        with open(os.path.join(root, "groundtruth.txt"), "w") as f:
+            f.write("\n".join(glines) + "\n")

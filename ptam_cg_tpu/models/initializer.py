@@ -57,7 +57,8 @@ def _extract_patches(atlas: Array, pos: Array, size: int):
         ok = (x0 >= 0) & (y0 >= 0) & (x0 + size <= Wa) & (y0 + size <= Ha)
         x0c = jnp.clip(x0, 0, Wa - size)
         y0c = jnp.clip(y0, 0, Ha - size)
-        return jax.lax.dynamic_slice(atlas, (y0c, x0c), (size, size)), ok
+        patch = jax.lax.dynamic_slice(atlas, (y0c, x0c), (size, size))
+        return patch.astype(jnp.float32), ok
 
     return jax.vmap(one)(pos)
 
@@ -206,6 +207,7 @@ def init_from_stereo(mapmaker: MapMaker, first: FrameFeatures,
                             jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
                             jnp.full(n, ms.SRC_TRAIL, jnp.int32), ok)
     mapmaker.map = m
+    mapmaker._n_kfs_host = 2
     if int(m.n_points()) < 4:
         return None
 
@@ -234,11 +236,9 @@ def init_from_stereo(mapmaker: MapMaker, first: FrameFeatures,
             break
         mapmaker.bundle_adjust_all()
 
-    # Plane alignment (ref: :396-397).
-    from ptam_cg_tpu.models import mapmaker as mmlib
-    aligner = mmlib.plane_aligner(mapmaker.map, mapmaker._next_key(),
-                                  mapmaker.cfg.plane_aligner_ransacs)
-    mapmaker.map = mmlib.apply_global_transform(mapmaker.map, aligner)
+    # Plane alignment (ref: :396-397) — one jitted dispatch.
+    mapmaker.map = mapmaker._jit_plane_align(mapmaker.map,
+                                             mapmaker._next_key())
 
     pose2 = SE3(mapmaker.map.kf_R[1], mapmaker.map.kf_t[1])
     return pose2

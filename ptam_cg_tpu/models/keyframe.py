@@ -126,6 +126,8 @@ def build_frame(im: Array, cfg: FrontendConfig = FrontendConfig(),
     (mx, ms, mv), (cx, cs, cv), the_sbi = make_frame_rest(
         pyramid, scores, True, cfg, candidate_min_score, sbi_blur)
     sbi_track = sbiops.make_sbi(pyramid[3], track_blur)
+    if cfg.atlas_bf16:
+        atlas = atlas.astype(jnp.bfloat16)
     return FrameFeatures(
         atlas=atlas, corner_mask=corner_mask, corner_count=counts,
         max_xy=mx, max_score=ms, max_valid=mv,
@@ -147,6 +149,8 @@ def build_frame_tracking(im: Array, cfg: FrontendConfig = FrontendConfig(),
     pyramid, atlas, corner_mask, scores, counts = make_frame_lite(im, cfg)
     the_sbi = sbiops.make_sbi(pyramid[3], sbi_blur)
     sbi_track = sbiops.make_sbi(pyramid[3], track_blur)
+    if cfg.atlas_bf16:
+        atlas = atlas.astype(jnp.bfloat16)
     z_i = jnp.zeros((LEVELS, NONMAX_CAP, 2), jnp.int32)
     z_f = jnp.zeros((LEVELS, NONMAX_CAP), jnp.float32)
     z_b = jnp.zeros((LEVELS, NONMAX_CAP), bool)

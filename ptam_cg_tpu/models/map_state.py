@@ -103,8 +103,10 @@ class MapState(NamedTuple):
 
 
 def empty_map(image_size: Tuple[int, int], max_points: int = 2048,
-              max_kfs: int = 32) -> MapState:
-    """Allocate an all-invalid map (Map::Reset equivalent)."""
+              max_kfs: int = 32, atlas_dtype=jnp.float32) -> MapState:
+    """Allocate an all-invalid map (Map::Reset equivalent).
+    ``atlas_dtype``: storage dtype of the keyframe pyramid atlases —
+    pass jnp.bfloat16 with FrontendConfig.atlas_bf16."""
     W, H = image_size
     Ha = H + H // 2
     h_sbi, w_sbi = (H >> 3) // 2, (W >> 3) // 2
@@ -121,7 +123,8 @@ def empty_map(image_size: Tuple[int, int], max_points: int = 2048,
         point_outlier=z(P, i32), point_source=z(P, i32),
         kf_R=jnp.broadcast_to(jnp.eye(3, dtype=f32), (K, 3, 3)),
         kf_t=z((K, 3), f32), kf_valid=z(K, bool), kf_fixed=z(K, bool),
-        kf_atlas=z((K, Ha, W), f32), kf_corner_mask=z((K, Ha, W), bool),
+        kf_atlas=z((K, Ha, W), atlas_dtype),
+        kf_corner_mask=z((K, Ha, W), bool),
         kf_max_xy=z((K, LEVELS, NONMAX_CAP, 2), i32),
         kf_max_valid=z((K, LEVELS, NONMAX_CAP), bool),
         kf_cand_xy=z((K, LEVELS, CAND_CAP, 2), i32),

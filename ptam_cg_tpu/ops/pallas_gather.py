@@ -172,8 +172,13 @@ def gather_windows_rowtake(atlas: Array, origin_yx: Array, D: int) -> Array:
 
     csel = (lx[:, None, None] + ii[None, None, :]
             == jnp.arange(C, dtype=jnp.int32)[None, :, None])
+    # A bfloat16 atlas (FrontendConfig.atlas_bf16) halves the row-take
+    # HBM traffic and runs this dot at bf16 MXU rate; accumulation and
+    # output are always float32 so downstream ZMSSD/subpix math keeps
+    # full precision.
     return jnp.einsum("ndc,ncj->ndj", rows, csel.astype(atlas.dtype),
-                      preferred_element_type=jnp.float32).astype(atlas.dtype)
+                      preferred_element_type=jnp.float32
+                      ).astype(jnp.float32)
 
 
 def gather_windows_vmap(atlas: Array, origin_yx: Array, D: int) -> Array:

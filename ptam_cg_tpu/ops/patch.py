@@ -149,6 +149,7 @@ def make_warped_templates_flat(kf_atlases: Array, kf_idx: Array,
     v11 = jnp.take(flat, base + Wa + 1)
     vals = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
             + v10 * (1 - fx) * fy + v11 * fx * fy)   # (N, P*P)
+    vals = vals.astype(jnp.float32)   # bf16 atlases convert on output
     inside = ((pts[..., 0] >= src_bounds[:, None, 0]) &
               (pts[..., 1] >= src_bounds[:, None, 1]) &
               (pts[..., 0] <= src_bounds[:, None, 2] - 1.0) &

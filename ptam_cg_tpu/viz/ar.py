@@ -112,6 +112,66 @@ def make_cube(size: float = 0.05, center=(0.0, 0.0, 0.0)):
     return jnp.asarray(verts), jnp.asarray(tris), jnp.asarray(shades)
 
 
+def _unit_octahedron():
+    """(6,3) vertices + (8,3) triangles of a unit octahedron — the
+    low-poly sphere used for eyeballs."""
+    verts = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                      [0, 0, 1], [0, 0, -1]], np.float32)
+    tris = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                     [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]],
+                    np.int32)
+    return verts, tris
+
+
+def make_eye_game(cam_center_w: Array, spacing: float = 0.1,
+                  radius: float = 0.04):
+    """EyeGame-parity animated AR content (ref: src/EyeGame.cc:15-241):
+    four eyeballs sitting on the z=0 plane, each with a pupil that
+    rotates to face the camera every frame. Geometry is a jnp function
+    of the camera center, so the whole AR render stays jittable.
+
+    Returns (verts (V,3), tris (T,3), shades (T,)).
+    """
+    overts, otris = _unit_octahedron()
+    all_verts, all_tris, all_shades = [], [], []
+    n_v = 0
+    for ex in (-spacing, spacing):
+        for ey in (-spacing, spacing):
+            center = jnp.asarray([ex, ey, -radius], jnp.float32)
+            # Eyeball sphere.
+            all_verts.append(center + radius * jnp.asarray(overts))
+            all_tris.append(otris + n_v)
+            all_shades.append(np.full(len(otris), 235.0, np.float32))
+            n_v += len(overts)
+            # Pupil: a small disc on the sphere surface facing the
+            # camera (the "eyes follow you" behavior, EyeGame.cc:150+).
+            d = cam_center_w - center
+            d = d / jnp.maximum(jnp.linalg.norm(d), 1e-9)
+            # Orthonormal frame around d.
+            up = jnp.where(jnp.abs(d[2]) < 0.9,
+                           jnp.asarray([0.0, 0.0, 1.0]),
+                           jnp.asarray([1.0, 0.0, 0.0]))
+            u = jnp.cross(d, up)
+            u = u / jnp.maximum(jnp.linalg.norm(u), 1e-9)
+            v = jnp.cross(d, u)
+            pc = center + d * radius * 1.02
+            pr = 0.35 * radius
+            ang = np.linspace(0, 2 * np.pi, 7)[:6]
+            ring = jnp.stack([pc + pr * (np.cos(a) * u + np.sin(a) * v)
+                              for a in ang])
+            all_verts.append(jnp.concatenate([pc[None], ring]))
+            fan = np.array([[0, 1 + i, 1 + (i + 1) % 6] for i in range(6)],
+                           np.int32)
+            all_tris.append(fan + n_v)
+            all_shades.append(np.full(6, 15.0, np.float32))
+            n_v += 7
+    # tris/shades are static (pure numpy) so callers can jit with them as
+    # compile-time constants; verts are traced (pose-dependent).
+    return (jnp.concatenate(all_verts),
+            np.concatenate(all_tris),
+            np.concatenate(all_shades))
+
+
 def render_ar_frame(frame: Array, pose: SE3, cam: atan.Camera,
                     image_size: Tuple[int, int], verts: Array,
                     tris: Array, shades: Array,

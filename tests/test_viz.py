@@ -86,3 +86,56 @@ def test_ar_render_draws_cube():
     diff = np.abs(np.asarray(out) - np.asarray(frame))
     changed = (diff > 20).sum()
     assert 50 < changed < 240 * 320 * 0.5, changed
+
+
+def test_eye_game_tracks_camera():
+    """EyeGame parity (ref: src/EyeGame.cc:15-241): pupils re-orient
+    toward the camera, so the geometry must change with camera center
+    while the eyeball centers stay fixed."""
+    import jax
+    import numpy as np
+    from ptam_cg_tpu.viz import ar as arlib
+
+    c1 = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    c2 = jnp.asarray([0.5, 0.3, 1.0], jnp.float32)
+    v1, t1, s1 = arlib.make_eye_game(c1)
+    v2, t2, s2 = arlib.make_eye_game(c2)
+    # Static topology stays numpy so callers can jit around it.
+    assert isinstance(t1, np.ndarray)
+    np.testing.assert_array_equal(t1, t2)
+    v1, v2 = np.asarray(v1), np.asarray(v2)
+    # 4 eyes x (6 sphere verts + 7 pupil verts); sphere verts identical,
+    # pupil verts move with the camera.
+    assert v1.shape == (4 * 13, 3)
+    for e in range(4):
+        o = e * 13
+        np.testing.assert_allclose(v1[o:o + 6], v2[o:o + 6], atol=1e-6)
+        assert np.abs(v1[o + 6:o + 13] - v2[o + 6:o + 13]).max() > 1e-3
+
+
+def test_render_ar_frame_with_eye_game():
+    """Full AR composite with the animated content stays jittable and
+    draws both bright sclera and dark pupil pixels."""
+    import jax
+    import numpy as np
+    from ptam_cg_tpu.camera import atan
+    from ptam_cg_tpu.utils.se3 import SE3
+    from ptam_cg_tpu.viz import ar as arlib
+
+    size = (64, 48)
+    cam = atan.make_camera((1.0803, 1.43987, 0.519983, 0.548655,
+                            0.244943), size)
+
+    def render(frame, R, t):
+        verts, tris, shades = arlib.make_eye_game(-R.T @ t,
+                                                  spacing=0.08,
+                                                  radius=0.05)
+        return arlib.render_ar_frame(frame, SE3(R, t), cam, size, verts,
+                                     tris, shades, ufb_size=size)
+
+    frame = jnp.full((48, 64), 100.0, jnp.float32)
+    out = np.asarray(jax.jit(render)(
+        frame, jnp.eye(3), jnp.asarray([0.0, 0.0, 0.6], jnp.float32)))
+    assert out.shape == (48, 64)
+    assert (out > 200).sum() > 50      # sclera
+    assert (out < 50).sum() > 50       # pupils
