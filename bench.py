@@ -21,12 +21,13 @@ def main():
     import jax.numpy as jnp
 
     from ptam_cg_tpu.camera import atan
-    from ptam_cg_tpu.config import EngineConfig
+    from ptam_cg_tpu.config import EngineConfig, FrontendConfig
     from ptam_cg_tpu.io import synth
     from ptam_cg_tpu.models import keyframe, map_state, tracker
     from ptam_cg_tpu.ops import levels as levelops
     from ptam_cg_tpu.utils import se3 as se3lib
 
+    bf16 = "--bf16" in sys.argv
     size = (640, 480)
     params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
     seq = synth.SyntheticSequence(params, image_size=size, n_frames=8,
@@ -36,13 +37,16 @@ def main():
 
     # Ground-truth map from frame-0 candidates on the plane (~2000 pts).
     f0 = seq.frame(0)
+    fe_cfg = FrontendConfig(atlas_bf16=bf16)
     ff0 = jax.jit(lambda x: keyframe.build_frame(
-        x, candidate_min_score=50.0))(f0)
+        x, fe_cfg, candidate_min_score=50.0))(f0)
     pose0 = seq.pose(0)
     T_wc = se3lib.inv(pose0)
 
     P = 2048
-    m = map_state.empty_map(size, max_points=P, max_kfs=4)
+    m = map_state.empty_map(size, max_points=P, max_kfs=4,
+                            atlas_dtype=jnp.bfloat16 if bf16
+                            else jnp.float32)
     m = map_state.insert_keyframe(m, 0, ff0, pose0, 1.5, 0.1)
 
     cand_xy = np.asarray(ff0.cand_xy)
@@ -83,7 +87,7 @@ def main():
         point_normal_nc=nrm, good=jnp.asarray(True))
     m = map_state.refresh_pixel_vectors(m)
 
-    cfg = EngineConfig()
+    cfg = EngineConfig(frontend=fe_cfg)
     cam_params = jnp.asarray(params, jnp.float32)
 
     # Two jitted programs per frame (frontend build + track), with the

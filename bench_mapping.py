@@ -131,21 +131,21 @@ def main():
                                     dm, ds, npm)
 
     # Warmup / compile.
-    out_m, slot, new_mask, n_added = integrate(m)
+    out_m, new_mask, slot_n = integrate(m)
     out_m.kf_valid.block_until_ready()
     t0 = time.perf_counter()
     iters = 10
     for _ in range(iters):
-        out_m, slot, new_mask, n_added = integrate(m)
+        out_m, new_mask, slot_n = integrate(m)
     out_m.kf_valid.block_until_ready()
     integrate_ms = (time.perf_counter() - t0) / iters * 1000
 
     mask2d = jnp.broadcast_to(new_mask, (K, P))
-    m2, nfs = maker._jit_refind_all(out_m, mask2d)
+    m2, nf = maker._jit_refind_all(out_m, mask2d)
     m2.kf_valid.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
-        m2, nfs = maker._jit_refind_all(out_m, mask2d)
+        m2, nf = maker._jit_refind_all(out_m, mask2d)
     m2.kf_valid.block_until_ready()
     refind_ms = (time.perf_counter() - t0) / iters * 1000
 
@@ -161,8 +161,8 @@ def main():
         "vs_baseline": round(duty, 4),
     }))
     print(f"# integrate={integrate_ms:.1f}ms refind_all({K}kf)="
-          f"{refind_ms:.1f}ms n_added={int(n_added)} "
-          f"refound={int(jnp.sum(nfs))} duty={duty*100:.1f}% of a "
+          f"{refind_ms:.1f}ms n_added={int(slot_n[1])} "
+          f"refound={int(nf)} duty={duty*100:.1f}% of a "
           f"20-frame KF period", file=sys.stderr)
 
 

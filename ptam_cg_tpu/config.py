@@ -127,6 +127,12 @@ class MapMakerConfig:
     thin_candidates_radius: float = 10.0
     #: KF queue cap before tracker stops adding (ref: src/Tracker.cc:163).
     max_queue_size: int = 3
+    #: Max LM iterations per mapping priority pass. The reference's BA
+    #: runs on its own CPU thread and is preempted by the abort flag
+    #: (ref: src/MapMaker.cc:486-487); in the synchronous engine a BA
+    #: pass shares the frame budget, so it runs at most this many inner
+    #: iterations (as ONE device dispatch) and resumes next pass.
+    ba_steps_per_pass: int = 5
 
 
 @dataclasses.dataclass(frozen=True)

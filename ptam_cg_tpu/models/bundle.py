@@ -30,6 +30,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ptam_cg_tpu.camera import atan
 from ptam_cg_tpu.ops import patch as patchops
@@ -355,30 +356,71 @@ def _cached_lm_step(cfg: BundleConfig, mest_kind: int):
     return jax.jit(lambda s, cam: lm_step(s, cam, cfg, mest_kind))
 
 
+@functools.lru_cache(maxsize=None)
+def _cached_lm_chunk(cfg: BundleConfig, mest_kind: int):
+    """A device-side LM loop: run steps until converged/failed or
+    ``iter_limit`` inner iterations, as ONE dispatch (a lax.while_loop of
+    lm_step). Replaces K sequential dispatch+sync round trips per BA run
+    — on the networked TPU backend each of those cost ~1 ms host time
+    plus a pipeline stall."""
+    def chunk(state: LMState, cam, iter_limit):
+        def cond(s):
+            return (~s.converged) & (~s.failed) & (s.iters < iter_limit)
+
+        def body(s):
+            return lm_step(s, cam, cfg, mest_kind)
+
+        out = jax.lax.while_loop(cond, body, state)
+        # Control scalars packed into ONE int32 vector: each separate
+        # bool()/int() read is a ~20 ms blocking round trip on a
+        # networked backend; the loop needs exactly one read per chunk.
+        flags = jnp.stack([out.converged.astype(jnp.int32), out.iters,
+                           out.failed.astype(jnp.int32), out.accepted])
+        return out, flags
+
+    return jax.jit(chunk)
+
+
 def compute(problem: BundleProblem, cam: atan.Camera,
             cfg: BundleConfig = BundleConfig(),
             mest_kind: int = mest.TUKEY,
-            abort_check=None) -> Tuple[LMState, int]:
+            abort_check=None, max_steps: int | None = None,
+            steps_per_dispatch: int = 5,
+            return_flags: bool = False):
     """Run LM to convergence (ref: Bundle::Compute, src/Bundle.cc:116-158).
 
-    ``abort_check``: optional host callable polled between steps — the
-    jitted-chunk equivalent of the reference's abort-flag polling.
-    Returns (final LMState, n_steps_run).
+    LM steps execute in device-side chunks of ``steps_per_dispatch``;
+    ``abort_check`` is polled between chunks — the jitted-chunk
+    equivalent of the reference's abort-flag polling
+    (ref: src/Bundle.cc:134, 338). ``max_steps`` bounds the inner
+    iterations of THIS call below cfg.max_iterations (the MapMaker's
+    per-pass BA budget).
+
+    Returns (final LMState, n_dispatches); with ``return_flags=True``
+    also the host-read (converged, iters, failed, accepted) ints so
+    callers don't pay extra blocking device reads.
     """
-    cached = _cached_lm_step(cfg, mest_kind)
-    step = lambda s: cached(s, cam)
+    chunkf = _cached_lm_chunk(cfg, mest_kind)
     state = init_lm(problem, cfg)
+    limit = cfg.max_iterations if max_steps is None \
+        else min(max_steps, cfg.max_iterations)
     n = 0
-    while (not bool(state.converged)
-           and int(state.iters) < cfg.max_iterations):
-        state = step(state)
+    conv, iters, failed, accepted = 0, 0, 0, 0
+    while iters < limit:
+        target = jnp.int32(min(iters + steps_per_dispatch, limit))
+        state, dev_flags = chunkf(state, cam, target)
         n += 1
-        if bool(state.failed):
-            # Numerical blow-up: the caller must ditch the map
+        # ONE blocking read per chunk.
+        conv, iters, failed, accepted = (
+            int(x) for x in np.asarray(dev_flags))
+        if conv or failed:
+            # failed: numerical blow-up — the caller must ditch the map
             # (ref: src/Bundle.cc:149-150, src/MapMaker.cc:887-892).
             break
         if abort_check is not None and abort_check():
             break
+    if return_flags:
+        return state, n, (bool(conv), iters, bool(failed), accepted)
     return state, n
 
 

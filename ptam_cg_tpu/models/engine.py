@@ -67,7 +67,17 @@ class SLAMEngine:
                  image_size=None, max_points: int = 2048,
                  max_kfs: int = 16, seed: int = 0,
                  auto_init_frames: Optional[int] = 6,
-                 async_mapping: bool = False):
+                 async_mapping: bool = False,
+                 decision_interval: int = 1):
+        """``decision_interval``: read the per-frame decision scalars
+        (quality / lost / KF-need) back from the device every N frames
+        instead of every frame. On a networked TPU backend EVERY blocking
+        sync costs ~20 ms regardless of compute (device compute is ~4 ms
+        /frame pipelined), so N=1 caps the engine near 30-45 FPS while
+        N=8 tracks at device rate with decisions lagging <= 8 frames —
+        the same wall-clock decision latency the reference has at 30 FPS
+        with same-frame decisions. Locally-attached accelerators / CPU
+        should keep N=1."""
         self.cfg = cfg
         trklib.validate_config(cfg.tracker)
         self.image_size = image_size or cfg.camera.image_size
@@ -94,12 +104,22 @@ class SLAMEngine:
         self.key = jax.random.PRNGKey(seed)
 
         cand_thresh = float(cfg.mapmaker.candidate_min_shi_tomasi_score)
+        # The float cast happens ON DEVICE so callers can ship uint8
+        # frames (4x less host->device traffic over a networked tunnel —
+        # ~26 ms/frame for a 640x480 float32 image vs ~7 ms as uint8,
+        # and fully hidden when the caller prefetches with device_put).
         self._build = jax.jit(lambda im: kflib.build_frame(
-            im, cfg.frontend, cand_thresh))
+            im.astype(jnp.float32), cfg.frontend, cand_thresh))
         # Per-frame tracking build skips nonmax/candidates (the reference
         # runs MakeKeyFrame_Rest only on keyframes).
         self._build_track = jax.jit(
-            lambda im: kflib.build_frame_tracking(im, cfg.frontend))
+            lambda im: kflib.build_frame_tracking(im.astype(jnp.float32),
+                                                  cfg.frontend))
+        #: Cached device scalar for the KF-need check (a fresh
+        #: jnp.float32(x) per frame is an eager device_put — ~1-3 ms on
+        #: the networked backend).
+        self._wiggle_val = None
+        self._wiggle_dev = None
         # Per-frame TRACKING-stage program: track + inlier/outlier
         # accounting + every per-frame decision scalar in ONE dispatch
         # (plus the separate frontend build — the split two-program
@@ -137,6 +157,11 @@ class SLAMEngine:
         self._pending = None
         self._prev_sbi_track = None
         self._n_points_host = 0
+        self.decision_interval = max(1, int(decision_interval))
+        self._frames_since_decision = 0
+        #: Last decision-read values, re-reported between reads.
+        self._last_quality = trklib.QUALITY_GOOD
+        self._last_n_found = 0
         W, H = self.image_size
         self._sbi_size = ((H >> 3) // 2, (W >> 3) // 2)
         self._reloc = jax.jit(lambda m, sbi: reloclib.attempt_recovery(
@@ -230,6 +255,9 @@ class SLAMEngine:
         self._pending = None
         self._prev_sbi_track = None
         self._n_points_host = 0
+        self._frames_since_decision = 0
+        self._last_quality = trklib.QUALITY_GOOD
+        self._last_n_found = 0
         self._init_requested = self.auto_init_frames is not None
 
     # ------------------------------------------------------------------
@@ -247,7 +275,9 @@ class SLAMEngine:
         equivalent decisions are same-frame but it pays no dispatch
         latency; ref: src/Tracker.cc:146-207).
         """
-        im = jnp.asarray(im, jnp.float32)
+        # Keep the caller's dtype (uint8 ships 4x less data over the
+        # host->device link); the build jits cast to float32 on device.
+        im = jnp.asarray(im)
         # Full build (with candidates) only where a keyframe may be made;
         # the TRACKING stage builds inside its fused program.
         features = None
@@ -313,13 +343,21 @@ class SLAMEngine:
             # Frontend build for this frame (dispatch 1, no sync).
             features = self._build_track(im)
 
-            # ---- deferred decisions for the PREVIOUS frame -------------
+            # ---- deferred decisions for the LATEST pending frame -------
+            # Every blocking device read costs ~20 ms on a networked
+            # backend, so the decision scalars are read only every
+            # ``decision_interval`` frames (lag-bounded decisions).
             p = self._pending
-            quality = trklib.QUALITY_GOOD
-            if p is not None:
-                pinfo = np.asarray(p["info"])   # the one per-frame sync
+            self.frames_since_kf += 1
+            self._frames_since_decision += 1
+            if p is not None and (self._frames_since_decision
+                                  >= self.decision_interval):
+                self._frames_since_decision = 0
+                pinfo = np.asarray(p["info"])   # the one blocking read
                 (quality, lost, n_found, need_kf,
                  self._n_points_host) = (int(x) for x in pinfo)
+                self._last_quality = quality
+                self._last_n_found = n_found
 
                 # Relocalize if lost (ref: src/Tracker.cc:168-207).
                 if lost > self.cfg.tracker.max_lost_frames:
@@ -333,9 +371,8 @@ class SLAMEngine:
                         self.tracker_state = st
                         relocalized = True
 
-                # Keyframe-add heuristics for the previous frame
+                # Keyframe-add heuristics for the pending frame
                 # (ref: src/Tracker.cc:146-166).
-                self.frames_since_kf += 1
                 if (quality == trklib.QUALITY_GOOD and need_kf
                         and self.frames_since_kf
                         > self.cfg.tracker.min_frames_between_kfs
@@ -362,9 +399,12 @@ class SLAMEngine:
                     added_kf = True
 
             # ---- dispatch THIS frame (dispatch 2, no sync) -------------
+            if self._wiggle_val != self.mapmaker.wiggle_depth_norm:
+                self._wiggle_val = self.mapmaker.wiggle_depth_norm
+                self._wiggle_dev = jnp.float32(self._wiggle_val)
             fo, new_inl, new_outl, info = self._step_track(
                 st, self.map, features, self._prev_sbi_track,
-                jnp.float32(self.mapmaker.wiggle_depth_norm))
+                self._wiggle_dev)
             self.tracker_state = fo.state
             self._prev_sbi_track = features.sbi_track
 
@@ -384,8 +424,16 @@ class SLAMEngine:
                 # First tracked frame after init: report its own stats
                 # (one synchronous read, once).
                 pinfo = np.asarray(info)
-                quality, _, n_found, _, self._n_points_host = (
-                    int(x) for x in pinfo)
+                (self._last_quality, _, self._last_n_found, _,
+                 self._n_points_host) = (int(x) for x in pinfo)
+                self._frames_since_decision = 0
+            quality = self._last_quality
+            n_found = self._last_n_found
+            # Start the host copy NOW: by decision time (>= 1 frame
+            # later) the scalars are usually already local, making the
+            # blocking read ~free (a cold read costs ~20-30 ms on a
+            # networked backend even for completed values).
+            info.copy_to_host_async()
             self._pending = dict(im=im, out=fo, info=info)
 
             if self.async_mapping:

@@ -211,9 +211,9 @@ def init_from_stereo(mapmaker: MapMaker, first: FrameFeatures,
     if int(m.n_points()) < 4:
         return None
 
-    # 5x global BA (ref: :372-373).
+    # 5x global BA (ref: :372-373); unbudgeted — init is one-time.
     for _ in range(5):
-        mapmaker.bundle_adjust_all()
+        mapmaker.bundle_adjust_all(full=True)
 
     # Scene depth stats + wiggle normalization (ref: :376-380).
     d0, s0 = ms.scene_depth_for_kf(mapmaker.map, 0)
@@ -234,7 +234,7 @@ def init_from_stereo(mapmaker: MapMaker, first: FrameFeatures,
     for _ in range(20):
         if mapmaker.converged_full:
             break
-        mapmaker.bundle_adjust_all()
+        mapmaker.bundle_adjust_all(full=True)
 
     # Plane alignment (ref: :396-397) — one jitted dispatch.
     mapmaker.map = mapmaker._jit_plane_align(mapmaker.map,

@@ -49,6 +49,38 @@ def triangulate(se3_a_from_b: SE3, v2a: Array, v2b: Array) -> Array:
     return v4[..., :3] / w[..., None]
 
 
+def _cross_matrix(v3: Array) -> Array:
+    """Skew-symmetric cross-product matrix, batched (..., 3) -> (..., 3, 3)."""
+    x, y, z = v3[..., 0], v3[..., 1], v3[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack([
+        jnp.stack([zero, -z, y], axis=-1),
+        jnp.stack([z, zero, -x], axis=-1),
+        jnp.stack([-y, x, zero], axis=-1)], axis=-2)
+
+
+def triangulate_new(se3_a_from_b: SE3, v2a: Array, v2b: Array) -> Array:
+    """Cross-product-matrix DLT triangulation — the reference's
+    alternative triangulator (ref: MapMaker::TriangulateNew,
+    src/MapMaker.cc:216-258): stack [v3a]x * P_A over [v3b]x * I and take
+    the null space of the 6x4 system. Returns the point in frame B;
+    broadcasts over leading dims."""
+    R, t = se3_a_from_b.R, se3_a_from_b.t
+    one = jnp.ones_like(v2a[..., :1])
+    v3a = jnp.concatenate([v2a, one], axis=-1)
+    v3b = jnp.concatenate([v2b, one], axis=-1)
+    PA = jnp.concatenate([R, t[..., :, None]], axis=-1)     # (..., 3, 4)
+    eye34 = jnp.concatenate(
+        [jnp.eye(3), jnp.zeros((3, 1))], axis=-1)
+    PDashA = _cross_matrix(v3a) @ PA
+    PDashB = _cross_matrix(v3b) @ eye34
+    A = jnp.concatenate([PDashA, PDashB], axis=-2)          # (..., 6, 4)
+    v4 = _smallest_right_singular(A)
+    w = v4[..., 3]
+    w = jnp.where(jnp.abs(w) < 1e-5, jnp.where(w < 0, -1e-5, 1e-5), w)
+    return v4[..., :3] / w[..., None]
+
+
 def triangulate_depths(se3_a_from_b: SE3, v2a: Array, v2b: Array):
     """Triangulate + return (point_in_B, depth_in_A, depth_in_B)."""
     p_b = triangulate(se3_a_from_b, v2a, v2b)

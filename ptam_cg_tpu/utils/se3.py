@@ -61,10 +61,17 @@ def hat(w: Array) -> Array:
 def _sinc_coeffs(theta_sq: Array):
     """Return (A, B, C) = (sin t/t, (1-cos t)/t^2, (t - sin t)/t^3).
 
-    Taylor fallback below theta^2 < 1e-8 keeps f32 exactness and avoids
+    Taylor fallback below theta^2 < 1e-4 keeps f32 exactness and avoids
     0/0 under jit (branchless, uses jnp.where with safe operands).
+
+    The threshold must cover the whole f32 cancellation zone: for
+    theta^2 just above 1e-8, cos(theta) rounds to exactly 1.0f so the
+    closed form gives B = 0 and downstream A/(2B) = inf (this produced
+    NaN velocities in se3_log mid-sequence). (1 - cos) keeps <=0.1%
+    relative error only once theta^2 >= ~1e-4; the Taylor truncation
+    error at theta^2 = 1e-4 is ~1e-11, so 1e-4 is safe on both sides.
     """
-    small = theta_sq < 1e-8
+    small = theta_sq < 1e-4
     # Safe theta for the non-small branch.
     safe_sq = jnp.where(small, 1.0, theta_sq)
     theta = jnp.sqrt(safe_sq)
@@ -92,14 +99,18 @@ def so3_log(R: Array) -> Array:
     R = jnp.asarray(R, jnp.float32)
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     # Antisymmetric part gives axis*sin(theta).
     v = jnp.stack([
         R[..., 2, 1] - R[..., 1, 2],
         R[..., 0, 2] - R[..., 2, 0],
         R[..., 1, 0] - R[..., 0, 1],
     ], axis=-1) * 0.5
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    # sin(theta) from the antisymmetric part (exact, no cancellation);
+    # theta via atan2 stays accurate near cos ~= 1 where arccos(cos_t)
+    # loses ~eps/theta relative precision in f32. Near pi the dedicated
+    # branch below takes over before ||v|| itself degrades.
+    sin_t = jnp.linalg.norm(v, axis=-1)
+    theta = jnp.arctan2(sin_t, cos_t)
     small = theta < 1e-4
     near_pi = theta > jnp.pi - 1e-3
     # Generic: w = theta/sin(theta) * v ; small: w ~= v * (1 + theta^2/6).
@@ -169,10 +180,18 @@ def se3_log(T: SE3) -> Array:
     KK = K @ K
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     # V^{-1} = I - K/2 + coef * K^2 with coef = (1 - A/(2B))/theta^2.
-    small = theta_sq < 1e-8
+    # The closed form cancels catastrophically in f32: 1 - A/(2B) ~
+    # theta^2/12, and relErr(B) ~ 2eps/theta^2 blows it up unless
+    # theta^4 >> 24 eps. Use the series of (x/2)cot(x/2) = 1 - x^2/12 -
+    # x^4/720 - x^6/30240 up to theta^2 < 0.1 (truncation < 4e-7 there);
+    # the safe_b guard is belt-and-braces against B underflowing to 0.
+    small = theta_sq < 0.1
     safe_sq = jnp.where(small, 1.0, theta_sq)
-    coef = jnp.where(small, 1.0 / 12.0 + theta_sq / 720.0,
-                     (1.0 - A / (2.0 * B)) / safe_sq)
+    safe_b = jnp.where(jnp.abs(B) < 1e-12, 1.0, B)
+    coef = jnp.where(
+        small,
+        1.0 / 12.0 + theta_sq / 720.0 + theta_sq * theta_sq / 30240.0,
+        (1.0 - A / (2.0 * safe_b)) / safe_sq)
     Vinv = eye - 0.5 * K + coef[..., None, None] * KK
     u = jnp.einsum("...ij,...j->...i", Vinv, T.t)
     return jnp.concatenate([u, w], axis=-1)

@@ -95,3 +95,20 @@ def test_horn_icp_matches_umeyama_under_noise():
     b = geometry.umeyama_icp(jnp.asarray(src), jnp.asarray(dst))
     np.testing.assert_allclose(a.R, b.R, atol=1e-3)
     np.testing.assert_allclose(a.t, b.t, atol=1e-3)
+
+
+def test_triangulate_new_matches_dlt():
+    """TriangulateNew (cross-matrix 6x4 DLT, ref: src/MapMaker.cc:216-258)
+    agrees with the 4x4 DLT on clean two-view data."""
+    rng = np.random.default_rng(3)
+    pts_b = rng.uniform([-1, -1, 2.0], [1, 1, 5.0], (64, 3)).astype(
+        np.float32)
+    xi = jnp.asarray([0.2, -0.05, 0.01, 0.02, -0.03, 0.01], jnp.float32)
+    T_ab = se3.se3_exp(xi)
+    pts_a = np.asarray(se3.apply(T_ab, jnp.asarray(pts_b)))
+    v2b = jnp.asarray(pts_b[:, :2] / pts_b[:, 2:3])
+    v2a = jnp.asarray(pts_a[:, :2] / pts_a[:, 2:3])
+    p_dlt = np.asarray(geometry.triangulate(T_ab, v2a, v2b))
+    p_new = np.asarray(geometry.triangulate_new(T_ab, v2a, v2b))
+    np.testing.assert_allclose(p_new, pts_b, atol=2e-2, rtol=1e-2)
+    np.testing.assert_allclose(p_new, p_dlt, atol=2e-2, rtol=1e-2)

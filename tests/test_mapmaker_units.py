@@ -124,7 +124,8 @@ def test_extract_apply_bundle_roundtrip():
                              .astype(np.float32)))
     adjust = jnp.asarray([False, True, False, False])
     fixed = jnp.asarray([True, False, False, False])
-    prob, mk, mp = mm.extract_bundle(m, adjust, fixed, m.point_valid, 256)
+    prob, mk, mp, n_sel = mm.extract_bundle(m, adjust, fixed,
+                                            m.point_valid, 256)
     assert int(prob.meas_valid.sum()) == 100
     out, retry = mm.apply_bundle(m, prob, mk, mp, adjust, m.point_valid)
     np.testing.assert_allclose(out.point_pos, m.point_pos)
@@ -143,7 +144,7 @@ def test_apply_bundle_outlier_provenance():
         meas_source=m.meas_source.at[1, 0].set(ms.SRC_TRACKER)
         .at[2, 1].set(ms.SRC_REFIND))
     adjust = jnp.asarray([True, True, True, False])
-    prob, mk, mp = mm.extract_bundle(m, adjust,
+    prob, mk, mp, _ = mm.extract_bundle(m, adjust,
                                      jnp.zeros(4, bool), m.point_valid, 64)
     # Mark outliers: the (kf1, pt0) TRACKER meas and (kf2, pt1) REFIND.
     bad = np.zeros(64, bool)
@@ -194,11 +195,15 @@ def test_bundle_adjust_failure_requests_reset(monkeypatch):
     maker = mm.MapMaker(m, cam, SIZE)
     before = maker.map
 
-    def fake_compute(prob, cam_, cfg, abort_check=None, **kw):
-        st = bundlelib.init_lm(prob, cfg)
-        return st._replace(failed=jnp.asarray(True)), 1
+    def fake_cached_chunk(cfg, kind):
+        def chunk(state, cam_, limit):
+            st = state._replace(failed=jnp.asarray(True),
+                                iters=jnp.int32(1))
+            flags = jnp.asarray([0, 1, 1, 0], jnp.int32)
+            return st, flags
+        return chunk
 
-    monkeypatch.setattr(bundlelib, "compute", fake_compute)
+    monkeypatch.setattr(bundlelib, "_cached_lm_chunk", fake_cached_chunk)
     maker.bundle_adjust_all()
     assert maker.reset_requested
     # Map untouched: failed results were not applied.
@@ -206,3 +211,25 @@ def test_bundle_adjust_failure_requests_reset(monkeypatch):
                                   np.asarray(before.kf_t))
     # A reset-requested MapMaker refuses further work.
     assert maker.step(None) is None
+
+
+def test_ba_capacity_overflow_warns():
+    """extract_bundle overflow must be surfaced, not silently dropped."""
+    import warnings
+    from ptam_cg_tpu.camera import atan
+
+    m = base_map(P=64, K=2)
+    m = m._replace(kf_valid=m.kf_valid.at[:2].set(True),
+                   point_valid=m.point_valid.at[:].set(True),
+                   meas_valid=m.meas_valid.at[:2, :].set(True),
+                   meas_pos=m.meas_pos + 32.0,
+                   point_pos=m.point_pos
+                   .at[:, 2].set(2.0)
+                   .at[:, 0].set(jnp.linspace(-0.5, 0.5, 64)),
+                   good=jnp.asarray(True))
+    cam = atan.make_camera((1.0, 1.0, 0.5, 0.5, 0.1), SIZE)
+    maker = mm.MapMaker(m, cam, SIZE, max_ba_meas=32)   # 128 meas > 32
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        maker.bundle_adjust_all()
+    assert any("capacity exceeded" in str(x.message) for x in w)

@@ -146,3 +146,26 @@ def test_lh_from_rh_involutive_and_matches_conjugation():
     back = se3.lh_from_rh(L)
     np.testing.assert_allclose(np.asarray(back.R), np.asarray(T.R),
                                atol=1e-6)
+
+
+def test_se3_log_small_angle_cancellation_zone():
+    """Regression: for theta in the f32 cancellation zone (1e-4..4e-2
+    rad), cos(theta) rounds to 1.0f so the closed-form B = (1-cos)/t^2
+    hits 0 and coef = (1-A/(2B))/t^2 blew up to inf/NaN; even where B
+    stayed nonzero, the coef cancellation cost ~5e-4 absolute error.
+    This produced [nan, inf, nan] tracker velocities mid-sequence
+    (round 2). exp(log(T)) must stay finite and tight over the zone."""
+    rng = np.random.default_rng(11)
+    for theta in np.geomspace(1e-6, 0.3, 60):
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        u = rng.normal(size=3)
+        xi = np.concatenate([u, axis * theta]).astype(np.float32)
+        T = se3.se3_exp(jnp.asarray(xi))
+        xi2 = np.asarray(se3.se3_log(T))
+        assert np.all(np.isfinite(xi2)), (theta, xi2)
+        T2 = se3.se3_exp(jnp.asarray(xi2))
+        np.testing.assert_allclose(np.asarray(T2.R), np.asarray(T.R),
+                                   atol=3e-5, err_msg=f"theta={theta}")
+        np.testing.assert_allclose(np.asarray(T2.t), np.asarray(T.t),
+                                   atol=3e-5, err_msg=f"theta={theta}")
