@@ -139,8 +139,12 @@ def make_corner_refiner(im_shape: Tuple[int, int], patch_size: int = 20,
             theta, last_step = carry
             r = residuals(theta, im)
             J = jax.jacfwd(lambda t: residuals(t, im))(theta)  # (Q, 6)
-            JTJ = J.T @ J + 1e-6 * jnp.eye(6)
-            upd = -0.7 * jnp.linalg.solve(JTJ, J.T @ r)
+            # Pinned f32: bf16-pass normal equations visibly bias the
+            # subpixel corner fit on TPU.
+            hi = jax.lax.Precision.HIGHEST
+            JTJ = jnp.dot(J.T, J, precision=hi) + 1e-6 * jnp.eye(6)
+            upd = -0.7 * jnp.linalg.solve(JTJ,
+                                          jnp.dot(J.T, r, precision=hi))
             theta = theta + upd
             return (theta, jnp.linalg.norm(upd[:2])), None
 

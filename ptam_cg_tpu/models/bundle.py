@@ -202,7 +202,21 @@ def lm_step(state: LMState, cam: atan.Camera,
             mest_kind: int = mest.TUKEY) -> LMState:
     """One full LM step (ref: Bundle::Do_LM_Step, src/Bundle.cc:209-551):
     robust sigma, U/V/W accumulation, inner lambda-retry loop, accept,
-    outlier pruning. Jittable."""
+    outlier pruning. Jittable.
+
+    All matmuls in the step run at pinned float32 precision: at TPU's
+    default single-bf16-pass precision the U/V/W accumulation and Schur
+    products corrupt the normal equations — measured on-chip as point
+    solutions 0.55 scene units off the CPU reference (vs 7e-4 pinned),
+    which in the engine showed up as BA passes progressively shrinking
+    the tracked-point count until tracking died."""
+    with jax.default_matmul_precision("float32"):
+        return _lm_step_impl(state, cam, cfg, mest_kind)
+
+
+def _lm_step_impl(state: LMState, cam: atan.Camera,
+                  cfg: BundleConfig = BundleConfig(),
+                  mest_kind: int = mest.TUKEY) -> LMState:
     prob = state.problem
     C = prob.cam_R.shape[0]
     P = prob.pt_pos.shape[0]

@@ -271,16 +271,23 @@ def choose_best_decomposition(H: Array, R: Array, t: Array, n: Array,
 def compute(m: Matches, key: Array, max_pixel_error: float = 5.0,
             trials: int = 300, refine_iters: int = 5) -> HomographyResult:
     """Full pipeline (ref: HomographyInit::Compute,
-    src/HomographyInit.cc:35-63). Jittable."""
-    H = mlesac_homography(m, key, max_pixel_error, trials)
-    err_sq = _pixel_errors(H, m)
-    inlier = m.valid & (err_sq < max_pixel_error * max_pixel_error)
-    for _ in range(refine_iters):
-        H = refine_homography(H, m, inlier)
+    src/HomographyInit.cc:35-63). Jittable.
 
-    R, t, n, d, ok = decompose_homography(H)
-    idx = choose_best_decomposition(H, R, t, n, d, m, inlier,
-                                    max_pixel_error)
+    Pinned float32 matmul precision throughout: the 9x9 DLT normal
+    matrices, WLS refinements, and decomposition products are exactly
+    the kind of small ill-conditioned systems that TPU's default
+    single-bf16-pass matmuls corrupt (observed as flaky stereo init on
+    chip while the same code initialized first-try on CPU)."""
+    with jax.default_matmul_precision("float32"):
+        H = mlesac_homography(m, key, max_pixel_error, trials)
+        err_sq = _pixel_errors(H, m)
+        inlier = m.valid & (err_sq < max_pixel_error * max_pixel_error)
+        for _ in range(refine_iters):
+            H = refine_homography(H, m, inlier)
+
+        R, t, n, d, ok = decompose_homography(H)
+        idx = choose_best_decomposition(H, R, t, n, d, m, inlier,
+                                        max_pixel_error)
     n_inl = jnp.sum(inlier.astype(jnp.int32))
     return HomographyResult(
         se3_second_from_first=SE3(R[idx], t[idx]), H=H,

@@ -207,6 +207,7 @@ def init_from_stereo(mapmaker: MapMaker, first: FrameFeatures,
                             jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
                             jnp.full(n, ms.SRC_TRAIL, jnp.int32), ok)
     mapmaker.map = m
+    mapmaker.good_host = True   # host mirror of map.good (set above)
     mapmaker._n_kfs_host = 2
     if int(m.n_points()) < 4:
         return None

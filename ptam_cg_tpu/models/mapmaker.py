@@ -460,7 +460,7 @@ def plane_aligner(m: MapState, key: Array, n_ransacs: int = 100) -> SE3:
     mean_in = jnp.sum(jnp.where(inl[:, None], m.point_pos, 0.0),
                       axis=0) / wn
     d = (m.point_pos - mean_in) * inl[:, None]
-    cov = d.T @ d
+    cov = jnp.dot(d.T, d, precision=jax.lax.Precision.HIGHEST)
     _, vecs = jnp.linalg.eigh(cov)
     normal = vecs[:, 0]
     normal = jnp.where(normal[2] > 0, -normal, normal)
@@ -639,7 +639,16 @@ class MapMaker:
         #: Host-side keyframe count — avoids a device sync per frame in
         #: the engine's KF heuristics (updated by integrate/init).
         self._n_kfs_host = int(jnp.sum(m.kf_valid.astype(jnp.int32)))
+        #: Host mirror of map.good — the device flag only transitions at
+        #: stereo init (initializer sets this True) and reset; reading
+        #: bool(self.map.good) in step() was a blocking device round
+        #: trip on every frame whose map object had just changed.
+        self.good_host = bool(m.good)
         self._overflow_checked_at_kfs = -1
+        #: Deferred KF-integration result (see integrate_keyframe): the
+        #: (slot, n_added) vector is async-copied and read on a later
+        #: pass so the KF frame never blocks on the integrate program.
+        self._pending_integrate = None
         #: In-flight non-blocking BA job (see _ba_start/_ba_poll).
         self._ba_job = None
         # Host-side pending flags avoid per-frame device syncs
@@ -691,22 +700,19 @@ class MapMaker:
                   full: bool = False):
         prob, mk, mp, n_sel = self._jit_extract(self.map, adjust_kf,
                                                 fixed_kf, point_mask)
-        # Capacity-overflow check: one blocking read, but only when the
-        # keyframe set changed since the last check.
+        # Capacity-overflow check: deferred (async copy, read at the
+        # first chunk poll) and only when the keyframe set changed since
+        # the last check — never a blocking read in the frame loop.
+        check_sel = None
         if self._overflow_checked_at_kfs != self._n_kfs_host:
             self._overflow_checked_at_kfs = self._n_kfs_host
-            if int(n_sel) > self.max_ba_meas:
-                import warnings
-                warnings.warn(
-                    f"BA measurement capacity exceeded: {int(n_sel)} "
-                    f"selected > max_ba_meas={self.max_ba_meas}; excess "
-                    f"measurements are dropped this pass. Raise "
-                    f"MapMaker(max_ba_meas=...).",
-                    RuntimeWarning, stacklevel=2)
+            n_sel.copy_to_host_async()
+            check_sel = n_sel
         state = bundlelib.init_lm(prob, self.ba_cfg)
         self._ba_job = dict(state=state, mk=mk, mp=mp,
                             adjust=adjust_kf, pmask=point_mask,
-                            recent=recent, full=full, flags=None)
+                            recent=recent, full=full, flags=None,
+                            check_sel=check_sel)
         self._ba_dispatch_chunk()
 
     def _ba_dispatch_chunk(self):
@@ -732,6 +738,17 @@ class MapMaker:
             return False
         if not block and not job["flags"].is_ready():
             return True
+        if job.get("check_sel") is not None:
+            n_sel = int(np.asarray(job["check_sel"]))
+            job["check_sel"] = None
+            if n_sel > self.max_ba_meas:
+                import warnings
+                warnings.warn(
+                    f"BA measurement capacity exceeded: {n_sel} "
+                    f"selected > max_ba_meas={self.max_ba_meas}; excess "
+                    f"measurements are dropped this pass. Raise "
+                    f"MapMaker(max_ba_meas=...).",
+                    RuntimeWarning, stacklevel=2)
         conv, iters, failed, accepted = (
             int(x) for x in np.asarray(job["flags"]))
         job["iters_done"] = iters
@@ -845,7 +862,12 @@ class MapMaker:
     def integrate_keyframe(self):
         """(ref: AddKeyFrameFromTopOfQueue, src/MapMaker.cc:493-518) —
         insert + measurements + refind + 4-level epipolar expansion as
-        ONE jitted dispatch."""
+        ONE jitted dispatch. The (slot, n_added) control vector is
+        async-copied and read by a LATER ``step`` pass
+        (``_drain_integrate``), so the KF frame never blocks on the
+        ~12 ms integrate program (a blocking read drains the whole
+        dispatch queue — measured 120-140 ms KF frames on the networked
+        backend)."""
         if not self.kf_queue:
             return None
         K = self.map.kf_valid.shape[0]
@@ -858,11 +880,24 @@ class MapMaker:
             meas["level"], meas["subpix"], meas["valid"],
             jnp.float32(dmean), jnp.float32(dsigma), self.new_point_mask)
         self._n_kfs_host += 1
-        slot, n_added = (int(x) for x in np.asarray(slot_n))  # one read
-        if n_added > 0:
-            self._new_points_pending = True
+        slot_n.copy_to_host_async()
+        self._pending_integrate = slot_n
         self.converged_recent = False
         self.converged_full = False
+        return None
+
+    def _drain_integrate(self, block: bool = False):
+        """Land a deferred KF integration once its control vector has
+        arrived. Returns the new keyframe slot, or None."""
+        p = self._pending_integrate
+        if p is None:
+            return None
+        if not block and not p.is_ready():
+            return None
+        slot, n_added = (int(x) for x in np.asarray(p))
+        self._pending_integrate = None
+        if n_added > 0:
+            self._new_points_pending = True
         return slot
 
     # -- the priority loop -------------------------------------------------
@@ -874,8 +909,12 @@ class MapMaker:
         flight at a time, polled here — the frame loop never blocks on
         BA. A queued keyframe aborts the job at its next completed chunk
         (the reference's abort flag, src/MapMaker.cc:486-487)."""
-        if self.reset_requested or not bool(self.map.good):
+        if self.reset_requested or not self.good_host:
             return
+        # Land a deferred KF integration first; while its control read
+        # is in flight (~one frame) nothing else runs.
+        if self._pending_integrate is not None:
+            return self._drain_integrate()
         if self._ba_job is not None:
             # Advance (or finalize/abort) the in-flight BA; nothing else
             # runs while BA owns the map — except KF integration after

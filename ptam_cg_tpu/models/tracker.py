@@ -238,7 +238,26 @@ def _gn_pose_iterations(pose: SE3, cam: atan.Camera, image_size,
                         mest_kind: int = mest.TUKEY):
     """Batched Gauss-Newton pose loop with robust reweighting
     (ref: src/Tracker.cc:546-568 (coarse), :621-657 (fine),
-    CalcPoseUpdate :928-1005). Returns (pose, final_weights)."""
+    CalcPoseUpdate :928-1005). Returns (pose, final_weights).
+
+    The whole solve is traced under pinned float32 matmul precision:
+    TPU's default single-bf16-pass matmuls corrupt the 6x6 normal
+    equations enough to degrade the pose over a sequence (measured:
+    BA point error 0.55 scene units at default vs 7e-4 pinned). The
+    image-value gather/ZMSSD dots elsewhere deliberately stay at the
+    fast default — uint8-in-spec (ref precision: src/ImageProcess.cc).
+    """
+    with jax.default_matmul_precision("float32"):
+        return _gn_pose_iterations_impl(
+            pose, cam, image_size, pts_w, found, v2found, level,
+            n_iters, override_after, override_val, mest_kind)
+
+
+def _gn_pose_iterations_impl(pose: SE3, cam: atan.Camera, image_size,
+                             pts_w: Array, found: Array, v2found: Array,
+                             level: Array, n_iters: int,
+                             override_after: int, override_val: float,
+                             mest_kind: int = mest.TUKEY):
     sqrt_inv_noise = 1.0 / levelops.level_scale(level)
 
     def one_iter(it, carry):

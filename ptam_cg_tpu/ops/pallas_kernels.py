@@ -1,17 +1,28 @@
-"""Pallas TPU kernels for the frontend stencil ops (EXPERIMENTAL).
+"""Pallas TPU kernels for the frontend stencil ops.
 
-Interpret-mode-validated implementations of FAST-10 and Shi-Tomasi as
-single-pass VMEM kernels. NOT yet wired into the production path:
+FAST-10 corner test + score and Shi-Tomasi min-eigenvalue score as
+single-pass fused stencils (ref semantics: src/KeyFrame.cc:23-53 uses
+libCVD fast_corner_detect_10; src/ImageProcess.cc:20-47 Shi-Tomasi).
 
-- Mosaic (this jax version) lowers neither ``dynamic_update_slice`` nor
-  ``dynamic_slice`` on values — use ``jnp.pad`` + static ``lax.slice``.
-- The one-grid-step whole-image strategy OOMs scoped VMEM (Mosaic
-  materializes every shifted copy: ~121 MB for 480x640): a production
-  version needs a row-band grid with halo handling (overlapping block
-  reads), which plain BlockSpecs do not express — use manual DMA from
-  an ANY-space input.
-- Meanwhile XLA's fused stencil for FAST measures fast enough that the
-  frontend's cost is distributed elsewhere (see CLAUDE.md profile).
+Two strategies live here:
+
+- ``*_pallas`` (whole image, one grid step): validated in interpret
+  mode, but Mosaic materializes every shifted copy so a 480x640 image
+  needs ~121 MB of VMEM — it OOMs on real hardware. Kept as the
+  interpret-mode reference the banded kernels are tested against.
+- ``*_banded`` (PRODUCTION): grid over row bands. Halo handling uses a
+  clamped three-band trick: the SAME image is passed three times with
+  block index maps i-1 / i / i+1 (clamped to the valid range), so the
+  kernel sees the previous, current, and next band and slices its halo
+  from the neighbors — no manual DMA, no arbitrary-offset HBM slices
+  (which this backend's Mosaic rejects). At the first/last band the
+  clamp duplicates the current band into the halo; the rows this
+  corrupts are exactly the image-border rows the FAST/Shi-Tomasi inner
+  masks zero out anyway.
+
+Mosaic notes (this jax version): neither ``dynamic_update_slice`` nor
+``dynamic_slice`` on values lowers — use ``jnp.pad`` + static
+``lax.slice``.
 """
 
 from __future__ import annotations
@@ -28,8 +39,10 @@ from ptam_cg_tpu.ops.fast import ARC, CIRCLE
 Array = jax.Array
 
 
-def _fast_kernel(threshold: float, im_ref, corner_ref, score_ref):
-    im = im_ref[:]
+def _fast_body(im, threshold: float):
+    """FAST-10 arc-margin score on a VMEM-resident image/strip — NO
+    border masking (the caller masks; a row band's top/bottom rows are
+    interior image rows)."""
     H, W = im.shape
     pad = 3
     # Zero-padded image; all shifts read from this value (VMEM-resident).
@@ -59,7 +72,14 @@ def _fast_kernel(threshold: float, im_ref, corner_ref, score_ref):
             best = jnp.maximum(best, m)
         return best
 
-    score = jnp.maximum(arc_max(bright), arc_max(dark))
+    return jnp.maximum(arc_max(bright), arc_max(dark))
+
+
+def _fast_kernel(threshold: float, im_ref, corner_ref, score_ref):
+    im = im_ref[:]
+    H, W = im.shape
+    pad = 3
+    score = _fast_body(im, threshold)
     is_corner = score > 0.0
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -88,8 +108,9 @@ def fast_score_map_pallas(im: Array, threshold: float,
     return corner > 0.5, score
 
 
-def _shi_tomasi_kernel(half_box: int, im_ref, out_ref):
-    im = im_ref[:]
+def _shi_body(im, half_box: int):
+    """Shi-Tomasi min-eigenvalue score on a VMEM-resident image/strip —
+    NO border masking (see _fast_body)."""
     H, W = im.shape
     pad = half_box + 1
     p = jnp.pad(im, ((pad, pad), (pad, pad)))
@@ -116,7 +137,13 @@ def _shi_tomasi_kernel(half_box: int, im_ref, out_ref):
     n = float((2 * half_box + 1) ** 2) * 2.0
     dxx, dyy, dxy = dxx / n, dyy / n, dxy / n
     disc = (dxx + dyy) ** 2 - 4.0 * (dxx * dyy - dxy * dxy)
-    score = 0.5 * (dxx + dyy - jnp.sqrt(jnp.maximum(disc, 0.0)))
+    return 0.5 * (dxx + dyy - jnp.sqrt(jnp.maximum(disc, 0.0)))
+
+
+def _shi_tomasi_kernel(half_box: int, im_ref, out_ref):
+    im = im_ref[:]
+    H, W = im.shape
+    score = _shi_body(im, half_box)
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     b = half_box + 1
@@ -135,6 +162,114 @@ def shi_tomasi_pallas(im: Array, half_box: int = 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(im.astype(jnp.float32))
+
+
+# --------------------------------------------------------------------
+# Row-band production kernels (clamped three-band halo; see module doc).
+# --------------------------------------------------------------------
+
+def _pick_band(H: int, target: int = 64) -> int:
+    """Largest divisor of H <= target (grid row-band height)."""
+    for b in range(min(target, H), 0, -1):
+        if H % b == 0:
+            return b
+    return H
+
+
+def _band_specs(H: int, W: int, band: int):
+    """Three BlockSpecs over the same (H, W) input: previous / current /
+    next row band, block index clamped to the valid range."""
+    n = H // band
+
+    def clamp(j):
+        return jnp.clip(j, 0, n - 1)
+
+    return [
+        pl.BlockSpec((band, W), lambda i: (clamp(i - 1), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((band, W), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((band, W), lambda i: (clamp(i + 1), 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _fast_band_kernel(threshold: float, H: int, band: int,
+                      prev_ref, cur_ref, next_ref, corner_ref, score_ref):
+    pad = 3
+    W = cur_ref.shape[1]
+    strip = jnp.concatenate(
+        [prev_ref[band - pad:, :], cur_ref[:], next_ref[:pad, :]], axis=0)
+    score = jax.lax.slice(_fast_body(strip, threshold),
+                          (pad, 0), (pad + band, W))
+    is_corner = score > 0.0
+    row0 = pl.program_id(0) * band
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (band, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (band, W), 1)
+    inner = ((rows >= pad) & (rows < H - pad)
+             & (cols >= pad) & (cols < W - pad))
+    is_corner = is_corner & inner
+    corner_ref[:] = is_corner.astype(jnp.float32)
+    score_ref[:] = jnp.where(is_corner, score + threshold, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "interpret"))
+def fast_score_map_banded(im: Array, threshold: float,
+                          interpret: bool = False):
+    """PRODUCTION drop-in for ops.fast.fast_score_map on TPU: fused
+    single-pass FAST-10 corner+score over row bands (the reference's
+    fast_corner_detect_10 + V-score, src/KeyFrame.cc:35-53)."""
+    im = im.astype(jnp.float32)
+    H, W = im.shape
+    band = _pick_band(H)
+    corner, score = pl.pallas_call(
+        functools.partial(_fast_band_kernel, float(threshold), H, band),
+        grid=(H // band,),
+        out_shape=(jax.ShapeDtypeStruct((H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((H, W), jnp.float32)),
+        in_specs=_band_specs(H, W, band),
+        out_specs=(pl.BlockSpec((band, W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((band, W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(im, im, im)
+    return corner > 0.5, score
+
+
+def _shi_band_kernel(half_box: int, H: int, band: int,
+                     prev_ref, cur_ref, next_ref, out_ref):
+    ext = half_box + 1
+    W = cur_ref.shape[1]
+    strip = jnp.concatenate(
+        [prev_ref[band - ext:, :], cur_ref[:], next_ref[:ext, :]], axis=0)
+    score = jax.lax.slice(_shi_body(strip, half_box),
+                          (ext, 0), (ext + band, W))
+    row0 = pl.program_id(0) * band
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (band, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (band, W), 1)
+    inner = ((rows >= ext) & (rows < H - ext)
+             & (cols >= ext) & (cols < W - ext))
+    out_ref[:] = jnp.where(inner, score, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("half_box", "interpret"))
+def shi_tomasi_banded(im: Array, half_box: int = 3,
+                      interpret: bool = False) -> Array:
+    """PRODUCTION drop-in for ops.image.shi_tomasi_score_map on TPU
+    (ref: src/ImageProcess.cc:20-47)."""
+    im = im.astype(jnp.float32)
+    H, W = im.shape
+    band = _pick_band(H)
+    return pl.pallas_call(
+        functools.partial(_shi_band_kernel, half_box, H, band),
+        grid=(H // band,),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        in_specs=_band_specs(H, W, band),
+        out_specs=pl.BlockSpec((band, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(im, im, im)
 
 
 def use_pallas() -> bool:

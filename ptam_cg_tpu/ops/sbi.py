@@ -127,8 +127,13 @@ def iterate_pos_rel_to_target(moving: SBI, target: SBI,
         J = jnp.stack([sum_gx, sum_gy, j2, ones], axis=-1) * m[..., None]
         d = diff * m
         score = jnp.sum(d * d)
-        JTd = jnp.einsum("hwk,hw->k", J, d)
-        JTJ = jnp.einsum("hwi,hwj->ij", J, J)
+        # Pinned f32: 4x4 normal equations must not run at the TPU's
+        # default single-bf16-pass matmul precision (the warp dot above
+        # deliberately stays fast — image values are uint8-in-spec).
+        JTd = jnp.einsum("hwk,hw->k", J, d,
+                         precision=jax.lax.Precision.HIGHEST)
+        JTJ = jnp.einsum("hwi,hwj->ij", J, J,
+                         precision=jax.lax.Precision.HIGHEST)
         upd = geomlib.spd_solve(JTJ + 1e-8 * jnp.eye(4), JTd)
         R_u = so2_exp(-upd[2])
         t_u = -upd[:2]
@@ -177,7 +182,9 @@ def se3_from_se2(se2: SE2, cam_params: Array,
         upd = geomlib.spd_solve(JTJ, J.T @ r)
         return se3lib.so3_exp(upd) @ R
 
-    R = jax.lax.fori_loop(0, 3, gn_step, jnp.eye(3, dtype=jnp.float32))
+    with jax.default_matmul_precision("float32"):
+        R = jax.lax.fori_loop(0, 3, gn_step,
+                              jnp.eye(3, dtype=jnp.float32))
     return SE3(R, jnp.zeros(3, jnp.float32))
 
 

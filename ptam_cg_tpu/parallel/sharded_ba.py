@@ -190,6 +190,12 @@ def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
                          last_error=repl, failed=repl)
 
     def step(state: LMState) -> LMState:
+        # Pinned f32 matmul precision — same rationale as bundle.lm_step
+        # (TPU default bf16 passes corrupt the normal equations).
+        with jax.default_matmul_precision("float32"):
+            return _step_body(state)
+
+    def _step_body(state: LMState) -> LMState:
         prob = state.problem            # local views inside shard_map
         C = prob.cam_R.shape[0]
         Pl = prob.pt_pos.shape[0]       # points on THIS shard

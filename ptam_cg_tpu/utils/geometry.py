@@ -20,9 +20,12 @@ def _smallest_right_singular(A: Array) -> Array:
     """Right-singular vector for the smallest singular value of (..., m, n).
 
     Uses eigh of AᵀA — TPU-friendly (no complex SVD path) and exactly what a
-    DLT null-space needs.
+    DLT null-space needs. AᵀA is formed at pinned f32 precision: a
+    single-bf16-pass product visibly perturbs the null space (DLT
+    triangulation feeds map-point positions).
     """
-    AtA = jnp.einsum("...mi,...mj->...ij", A, A)
+    AtA = jnp.einsum("...mi,...mj->...ij", A, A,
+                     precision=jax.lax.Precision.HIGHEST)
     _, vecs = jnp.linalg.eigh(AtA)   # ascending eigenvalues
     return vecs[..., :, 0]
 
@@ -102,7 +105,8 @@ def umeyama_icp(src: Array, dst: Array, mask: Array | None = None) -> SE3:
     mu_d = jnp.sum(dst * m, axis=-2) / wsum
     cs = (src - mu_s) * m
     cd = (dst - mu_d) * m
-    H = jnp.einsum("...ni,...nj->...ij", cs, cd)
+    H = jnp.einsum("...ni,...nj->...ij", cs, cd,
+                   precision=jax.lax.Precision.HIGHEST)
     U, _, Vt = jnp.linalg.svd(H)
     d = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
     S = jnp.diag(jnp.array([1.0, 1.0, 1.0], src.dtype))
@@ -131,7 +135,8 @@ def horn_icp(src: Array, dst: Array, mask: Array | None = None) -> SE3:
     mu_d = jnp.sum(dst * m, axis=-2) / wsum
     cs = (src - mu_s) * m
     cd = (dst - mu_d) * m
-    M = jnp.einsum("...ni,...nj->...ij", cs, cd) / wsum
+    M = jnp.einsum("...ni,...nj->...ij", cs, cd,
+                   precision=jax.lax.Precision.HIGHEST) / wsum
     delta = jnp.stack([M[..., 1, 2] - M[..., 2, 1],
                        M[..., 2, 0] - M[..., 0, 2],
                        M[..., 0, 1] - M[..., 1, 0]], axis=-1)

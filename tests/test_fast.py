@@ -115,6 +115,33 @@ def test_pallas_fast_matches_xla_interpret():
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
 
 
+def test_pallas_banded_fast_matches_xla_interpret():
+    """Row-band production kernel parity: multi-band grid (120 rows ->
+    several bands), band-boundary rows are interior rows and must be
+    exact; clamped-halo corruption only ever hits masked border rows."""
+    from ptam_cg_tpu.ops import pallas_kernels as pk
+    im = np.random.default_rng(6).uniform(0, 255, (120, 160)) \
+        .astype(np.float32)
+    m1, s1 = fastops.fast_score_map(jnp.asarray(im), 12.0)
+    m2, s2 = pk.fast_score_map_banded(jnp.asarray(im), 12.0,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
+
+
+def test_pallas_banded_shi_tomasi_matches_xla_interpret():
+    from ptam_cg_tpu.ops import image as imageops
+    from ptam_cg_tpu.ops import pallas_kernels as pk
+    im = np.random.default_rng(7).uniform(0, 255, (120, 160)) \
+        .astype(np.float32)
+    s1 = imageops.shi_tomasi_score_map(jnp.asarray(im))
+    s2 = pk.shi_tomasi_banded(jnp.asarray(im), interpret=True)
+    # Different box-sum associativity (separable vs direct): fp-noise
+    # level disagreement only.
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=2e-4, atol=0.5)
+
+
 def test_tiled_corner_selection():
     mask = np.zeros((16, 16), bool)
     score = np.zeros((16, 16), np.float32)
