@@ -1,0 +1,63 @@
+"""Gate the Pallas banded stencils on real TPU: parity + timing.
+
+1. compile+run fast_score_map_banded / shi_tomasi_banded at the four
+   640x480-pyramid shapes, compare against the XLA formulation.
+2. time build_frame_tracking with pallas_stencils off vs on.
+"""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+assert jax.default_backend() == "tpu", jax.default_backend()
+
+from ptam_cg_tpu.ops import fast as fastops
+from ptam_cg_tpu.ops import image as imops
+from ptam_cg_tpu.ops import pallas_kernels as pk
+from ptam_cg_tpu.models import keyframe
+from ptam_cg_tpu.config import FrontendConfig
+
+rng = np.random.RandomState(0)
+shapes = [(480, 640), (240, 320), (120, 160), (60, 80)]
+thr = [10.0, 15.0, 15.0, 10.0]
+
+for (h, w), t in zip(shapes, thr):
+    im = jnp.asarray((rng.rand(h, w) * 255).astype(np.float32))
+    t0 = time.time()
+    cb, sb = pk.fast_score_map_banded(im, t)
+    cb, sb = np.asarray(cb), np.asarray(sb)
+    print(f"fast banded {h}x{w}: compile+run {time.time()-t0:.1f}s")
+    cx, sx = jax.jit(fastops.fast_score_map, static_argnums=1)(im, t)
+    cx, sx = np.asarray(cx), np.asarray(sx)
+    print(f"  corner match {np.mean(cb == cx):.6f} "
+          f"score maxdiff {np.abs(sb - sx).max():.3g}")
+    t0 = time.time()
+    stb = np.asarray(pk.shi_tomasi_banded(im, 3))
+    print(f"shi banded {h}x{w}: compile+run {time.time()-t0:.1f}s")
+    stx = np.asarray(jax.jit(imops.shi_tomasi_score_map,
+                             static_argnums=1)(im, 3))
+    scale = max(1.0, np.abs(stx).max())
+    print(f"  shi reldiff {np.abs(stb - stx).max() / scale:.3g}")
+
+# ---- end-to-end frontend timing, flag off vs on -------------------
+im = jnp.asarray((rng.rand(480, 640) * 255).astype(np.float32))
+for flag in (False, True):
+    cfg = FrontendConfig(pallas_stencils=flag)
+    fn = jax.jit(lambda x, c=cfg: keyframe.build_frame_tracking(x, c))
+    out = fn(im)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    N = 50
+    for _ in range(N):
+        out = fn(im)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / N * 1e3
+    print(f"build_frame_tracking pallas={flag}: {dt:.3f} ms/call "
+          f"(throughput, pipelined)")
+    # per-call blocked latency
+    t0 = time.time()
+    for _ in range(N):
+        jax.block_until_ready(fn(im))
+    dt = (time.time() - t0) / N * 1e3
+    print(f"build_frame_tracking pallas={flag}: {dt:.3f} ms/call (blocked)")
+print("DONE")

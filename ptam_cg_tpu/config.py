@@ -196,6 +196,13 @@ class FrontendConfig:
     #: ~0.5-graylevel bf16 rounding is within spec; all ZMSSD/subpix math
     #: stays float32 (gathers convert on output).
     atlas_bf16: bool = False
+    #: Use the fused Pallas row-band stencils (ops/pallas_kernels.py)
+    #: for the per-level FAST corner+score and Shi-Tomasi maps instead
+    #: of the dense XLA shift-and-blend formulation. Only takes effect
+    #: on a real TPU backend (falls back to XLA elsewhere); parity is
+    #: bound by tests/test_fast.py. Off by default pending a measured
+    #: win on the frontend dispatch.
+    pallas_stencils: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

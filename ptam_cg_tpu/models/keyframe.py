@@ -30,6 +30,7 @@ from ptam_cg_tpu.config import (LEVELS, MAX_CANDIDATES, MAX_NONMAX_CORNERS,
 from ptam_cg_tpu.ops import fast as fastops
 from ptam_cg_tpu.ops import image as imops
 from ptam_cg_tpu.ops import levels as levelops
+from ptam_cg_tpu.ops import pallas_kernels
 from ptam_cg_tpu.ops import sbi as sbiops
 
 Array = jax.Array
@@ -65,10 +66,15 @@ def make_frame_lite(im: Array,
     pyramid = imops.build_pyramid(im, LEVELS)
     atlas = levelops.pack_atlas(pyramid)
 
+    use_pallas = cfg.pallas_stencils and pallas_kernels.use_pallas()
     masks, scores, counts = [], [], []
     for lev in range(LEVELS):
-        is_c, sc = fastops.fast_score_map(pyramid[lev],
-                                          float(cfg.fast_thresholds[lev]))
+        if use_pallas:
+            is_c, sc = pallas_kernels.fast_score_map_banded(
+                pyramid[lev], float(cfg.fast_thresholds[lev]))
+        else:
+            is_c, sc = fastops.fast_score_map(
+                pyramid[lev], float(cfg.fast_thresholds[lev]))
         masks.append(is_c)
         scores.append(sc)
         counts.append(jnp.sum(is_c.astype(jnp.int32)))
@@ -99,7 +105,10 @@ def make_frame_rest(pyramid: Tuple[Array, ...], scores: Tuple[Array, ...],
 
         # Candidates: nonmax corners with >=10px border and Shi-Tomasi
         # score above threshold (ref: src/KeyFrame.cc:67-78).
-        st = imops.shi_tomasi_score_map(pyramid[lev], half_box=3)
+        if cfg.pallas_stencils and pallas_kernels.use_pallas():
+            st = pallas_kernels.shi_tomasi_banded(pyramid[lev], half_box=3)
+        else:
+            st = imops.shi_tomasi_score_map(pyramid[lev], half_box=3)
         hl, wl = pyramid[lev].shape
         border = jnp.zeros((hl, wl), bool)
         if hl > 20 and wl > 20:
