@@ -35,7 +35,7 @@ def main():
 
     size = (640, 480)
     params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
-    n_frames = 120
+    n_frames = 240
     seq = synth.SyntheticSequence(params, image_size=size,
                                   n_frames=n_frames, seed=7, height=1.5,
                                   radius=0.35, sweep=1.3)
@@ -72,9 +72,46 @@ def main():
                 nxt = jax.device_put(frames[i + 1])   # async
             yield i, cur
 
-    # Warmup: init + first keyframe integrations + first BA compiles all
-    # happen in the first pass over the sequence.
-    warm = min(60, n_frames)
+    def precompile_mapping_jobs():
+        """Force-compile every mapping job type before the timed window.
+
+        The priority loop fires some jobs lazily (local BA only at >= 8
+        keyframes, failure-queue refind on a 1/20 draw), so a short
+        warmup pass leaves first-time compiles — minutes each on this
+        remote-compile backend — to land INSIDE the measured window
+        (one such compile was 83% of the round-2 measured time). Every
+        program here is shape-static, so one forced call each makes the
+        timed window pure steady-state execution."""
+        mm = eng.mapmaker
+        mm.map = eng.map
+        # Land in-flight async work (deferred integrate / BA chunks).
+        while (mm._pending_integrate is not None or mm._ba_job is not None
+               or mm.kf_queue):
+            if mm._pending_integrate is not None:
+                slot = mm._drain_integrate(block=True)
+                if slot is not None:
+                    eng.newest_kf = slot
+            elif mm._ba_job is not None:
+                mm._ba_poll(block=True)
+            else:
+                mm.integrate_keyframe()
+        # One synchronous run of each job program.
+        mm._jit_local_masks(mm.map, eng.newest_kf or 1)  # local-BA masks
+        mm.bundle_adjust_recent(eng.newest_kf or 1)
+        mm.bundle_adjust_all(full=False)                 # extract/chunk/apply
+        mm.mark_dirty()
+        mm.handle_bad_points()                           # GC
+        mm._failures_pending = True
+        mm.refind_from_failure_queue()                   # all-KF refind scan
+        jax.block_until_ready(mm.map.point_pos)
+        eng.map = mm.map
+        # Relocalizer (only fires when lost — compile it up front too).
+        ff = eng._build_track(jax.device_put(frames[0]))
+        jax.block_until_ready(eng._reloc(eng.map, ff.sbi).pose.t)
+
+    # Warmup: a full half-sequence (init + keyframe integrations + BA),
+    # then a forced compile of every remaining mapping job type.
+    warm = n_frames // 2
     t_warm0 = time.perf_counter()
     times = []
     t0 = None
@@ -82,6 +119,7 @@ def main():
         t1 = time.perf_counter()
         info = eng.process_frame(frame)
         if i == warm - 1:
+            precompile_mapping_jobs()
             print(f"# warmup: {warm} frames in "
                   f"{time.perf_counter() - t_warm0:.1f}s, "
                   f"stage={info.stage} pts={info.n_points} "

@@ -169,8 +169,12 @@ def shi_tomasi_pallas(im: Array, half_box: int = 3,
 # --------------------------------------------------------------------
 
 def _pick_band(H: int, target: int = 64) -> int:
-    """Largest divisor of H <= target (grid row-band height)."""
-    for b in range(min(target, H), 0, -1):
+    """Grid row-band height: the largest divisor of H that is <= target
+    AND a multiple of 8 — Mosaic requires the sublane (second-to-last)
+    block dim to be divisible by 8 unless the block spans the whole
+    dimension, so a non-conforming H (e.g. the 60-row level-3 image)
+    falls back to a single full-height band."""
+    for b in range(min(target, H) & ~7, 0, -8):
         if H % b == 0:
             return b
     return H
