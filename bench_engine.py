@@ -82,6 +82,9 @@ def main():
         (one such compile was 83% of the round-2 measured time). Every
         program here is shape-static, so one forced call each makes the
         timed window pure steady-state execution."""
+        # This warmup mutates shared MapMaker/engine state without
+        # eng._map_lock; with --async the mapping thread would race it.
+        assert not use_async, "precompile warmup requires sync mapping"
         mm = eng.mapmaker
         mm.map = eng.map
         # Land in-flight async work (deferred integrate / BA chunks).
@@ -96,8 +99,9 @@ def main():
             else:
                 mm.integrate_keyframe()
         # One synchronous run of each job program.
-        mm._jit_local_masks(mm.map, eng.newest_kf or 1)  # local-BA masks
-        mm.bundle_adjust_recent(eng.newest_kf or 1)
+        newest = 1 if eng.newest_kf is None else eng.newest_kf
+        mm._jit_local_masks(mm.map, newest)              # local-BA masks
+        mm.bundle_adjust_recent(newest)
         mm.bundle_adjust_all(full=False)                 # extract/chunk/apply
         mm.mark_dirty()
         mm.handle_bad_points()                           # GC

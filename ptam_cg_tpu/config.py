@@ -149,10 +149,6 @@ class BundleConfig:
     lambda_factor_initial: float = 2.0
     #: Robust sigma floor in px (ref: src/Bundle.cc:234 min 0.4).
     min_sigma: float = 0.4
-    #: Max cameras/points/measurements per BA problem (static shapes).
-    max_cameras: int = 16
-    max_points: int = 2048
-    max_meas: int = 8192
 
 
 @dataclasses.dataclass(frozen=True)

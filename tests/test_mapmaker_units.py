@@ -213,6 +213,44 @@ def test_bundle_adjust_failure_requests_reset(monkeypatch):
     assert maker.step(None) is None
 
 
+def test_extract_bundle_overflow_prioritizes():
+    """When n_selected > max_meas the subset must keep every ROOT
+    measurement and every measurement of scarcely-observed points
+    (VERDICT r2 #2: never an arbitrary lexical truncation)."""
+    K, P = 4, 64
+    m = base_map(P=P, K=K)
+    # 60 points seen in all 4 KFs, 4 "scarce" points seen only in the
+    # last two KFs: 240 + 8 = 248 measurements, capacity 128.
+    meas_valid = np.zeros((K, P), bool)
+    meas_valid[:, :60] = True
+    meas_valid[2:, 60:64] = True
+    source = np.full((K, P), ms.SRC_TRACKER, np.int32)
+    source[0, :60] = ms.SRC_ROOT      # dense points anchored in KF0
+    source[2, 60:64] = ms.SRC_ROOT    # scarce points anchored in KF2
+    m = m._replace(kf_valid=jnp.ones(K, bool),
+                   point_valid=jnp.asarray(np.arange(P) < 64),
+                   meas_valid=jnp.asarray(meas_valid),
+                   meas_source=jnp.asarray(source))
+    adjust = jnp.ones(K, bool)
+    prob, mk, mp, n_sel = mm.extract_bundle(
+        m, adjust, jnp.zeros(K, bool), m.point_valid, 128)
+    assert int(n_sel) == 248
+    sel = set(zip(np.asarray(mk).tolist(), np.asarray(mp).tolist()))
+    assert len(sel) == 128          # no duplicate (k, p) pairs
+    # Every ROOT measurement survives.
+    for p in range(60):
+        assert (0, p) in sel
+    for p in range(60, 64):
+        assert (2, p) in sel
+    # Scarce points keep BOTH their measurements (BA needs >= 2 views).
+    for p in range(60, 64):
+        assert (3, p) in sel
+    # The non-root remainder comes from the NEWEST keyframe first.
+    rest = [k for (k, p) in sel if not (k == 0 and p < 60)
+            and not (k in (2, 3) and p >= 60)]
+    assert rest and all(k == 3 for k in rest)
+
+
 def test_ba_capacity_overflow_warns():
     """extract_bundle overflow must be surfaced, not silently dropped."""
     import warnings
