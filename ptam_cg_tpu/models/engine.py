@@ -68,7 +68,8 @@ class SLAMEngine:
                  max_kfs: int = 16, seed: int = 0,
                  auto_init_frames: Optional[int] = 6,
                  async_mapping: bool = False,
-                 decision_interval: int = 1):
+                 decision_interval: int = 1,
+                 mesh=None):
         """``decision_interval``: read the per-frame decision scalars
         (quality / lost / KF-need) back from the device every N frames
         instead of every frame. On a networked TPU backend EVERY blocking
@@ -77,8 +78,15 @@ class SLAMEngine:
         N=8 tracks at device rate with decisions lagging <= 8 frames —
         the same wall-clock decision latency the reference has at 30 FPS
         with same-frame decisions. Locally-attached accelerators / CPU
-        should keep N=1."""
+        should keep N=1.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — with >1 device,
+        global bundle adjustment runs point-sharded over it (the
+        framework's multi-chip scale path; see parallel/sharded_ba.py).
+        Tracking stays single-device (one frame is far below one chip's
+        capacity)."""
         self.cfg = cfg
+        self.mesh = mesh
         trklib.validate_config(cfg.tracker)
         self.image_size = image_size or cfg.camera.image_size
         self.cam = atan.make_camera(cfg.camera.params, self.image_size)
@@ -89,7 +97,8 @@ class SLAMEngine:
         self.map = ms.empty_map(self.image_size, max_points, max_kfs,
                                 atlas_dtype)
         self.mapmaker = mmlib.MapMaker(self.map, self.cam, self.image_size,
-                                       cfg.mapmaker, cfg.bundle, seed=seed)
+                                       cfg.mapmaker, cfg.bundle, seed=seed,
+                                       mesh=mesh)
         self.stage = Stage.NOT_STARTED
         self.tracker_state = trklib.init_tracker_state(seed=seed + 1)
         self.trails: Optional[initlib.TrailState] = None
@@ -244,7 +253,7 @@ class SLAMEngine:
         self.map = ms.empty_map(self.image_size, P, K, self._atlas_dtype)
         self.mapmaker = mmlib.MapMaker(
             self.map, self.cam, self.image_size, self.cfg.mapmaker,
-            self.cfg.bundle)
+            self.cfg.bundle, mesh=self.mesh)
         self.stage = Stage.NOT_STARTED
         self.tracker_state = trklib.init_tracker_state(
             key=self._next_key())

@@ -173,10 +173,22 @@ def _pick_band(H: int, target: int = 64) -> int:
     AND a multiple of 8 — Mosaic requires the sublane (second-to-last)
     block dim to be divisible by 8 unless the block spans the whole
     dimension, so a non-conforming H (e.g. the 60-row level-3 image)
-    falls back to a single full-height band."""
+    falls back to a single full-height band.
+
+    The full-height fallback reintroduces the whole-image VMEM footprint
+    the banding exists to avoid, so it is only safe for SMALL images:
+    the pyramid heights here are 480/240/120/60 (banded / banded /
+    banded / one 60-row band). A large prime-ish H (e.g. 482) would
+    blow VMEM — reject it loudly instead of compiling a kernel that
+    OOMs Mosaic (ADVICE r2)."""
     for b in range(min(target, H) & ~7, 0, -8):
         if H % b == 0:
             return b
+    if H > 4 * target:
+        raise ValueError(
+            f"image height {H} has no multiple-of-8 divisor <= {target}; "
+            f"the banded stencils would fall back to one full-height "
+            f"VMEM band. Pad the image rows to a multiple of 8 first.")
     return H
 
 

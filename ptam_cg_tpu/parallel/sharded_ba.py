@@ -36,6 +36,7 @@ at 128 KF / 16k points / 64k measurements.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -170,6 +171,164 @@ def _sigma_squared_global(local_prob: BundleProblem, cam: atan.Camera,
                                    min_sigma=cfg.min_sigma)
 
 
+def _state_spec(axis: str) -> LMState:
+    """shard_map partition specs for an LMState: cameras + control
+    scalars replicated, points/measurements sharded on ``axis``."""
+    repl = P()
+    shd = P(axis)
+    prob_spec = BundleProblem(
+        cam_R=repl, cam_t=repl, cam_fixed=repl, cam_valid=repl,
+        pt_pos=shd, pt_valid=shd,
+        meas_cam=shd, meas_pt=shd, meas_pos=shd,
+        meas_sqrt_inv_noise=shd, meas_valid=shd, meas_bad=shd)
+    return LMState(problem=prob_spec, lam=repl, lam_factor=repl,
+                   converged=repl, accepted=repl, iters=repl,
+                   last_error=repl, failed=repl)
+
+
+#: Replicated spec for the Camera pytree (all leaves are tiny scalars).
+_CAM_SPEC = atan.Camera(*([P()] * len(atan.Camera._fields)))
+
+
+def _sharded_step(state: LMState, cam: atan.Camera, cfg: BundleConfig,
+                  mest_kind: int, axis: str) -> LMState:
+    """One point-sharded LM step; runs INSIDE shard_map (per-shard views).
+
+    Pinned f32 matmul precision — same rationale as bundle.lm_step
+    (TPU default bf16 passes corrupt the normal equations)."""
+    with jax.default_matmul_precision("float32"):
+        return _sharded_step_body(state, cam, cfg, mest_kind, axis)
+
+
+def _sharded_step_body(state: LMState, cam: atan.Camera,
+                       cfg: BundleConfig, mest_kind: int,
+                       axis: str) -> LMState:
+    prob = state.problem            # local views inside shard_map
+    C = prob.cam_R.shape[0]
+    Pl = prob.pt_pos.shape[0]       # points on THIS shard
+    shard = jax.lax.axis_index(axis)
+    # Localize the global point indices to this shard's block.
+    local = prob._replace(meas_pt=prob.meas_pt - shard * Pl)
+
+    sigma_sq = _sigma_squared_global(local, cam, cfg, mest_kind, axis)
+
+    # Per-shard accumulators; only the camera-sized U/ea (and the
+    # error scalar) are completed over the mesh. V/eb/W stay local.
+    (U, ea, V, eb, Wfull, err_local, new_bad,
+     good) = bundlelib._accumulators(local, cam, sigma_sq, cfg,
+                                     mest_kind)
+    U = jax.lax.psum(U, axis)
+    ea = jax.lax.psum(ea, axis)
+    current_error = jax.lax.psum(err_local, axis)
+
+    # Loop-invariant matrix view of the LOCAL W blocks (see
+    # models/bundle.py lowering notes — XLA hoists this copy).
+    W_m = Wfull.transpose(1, 2, 0, 3).reshape(C * 6, Pl * 3)
+    free = prob.cam_valid & ~prob.cam_fixed
+    free_f = free.astype(jnp.float32)
+
+    def try_lambda(carry):
+        lam, lam_factor, _, _, _, n_inner, _c, _u = carry
+        Vstar = V * (jnp.ones((3, 3)) + lam * jnp.eye(3))
+        diag_prod = V[:, 0, 0] * V[:, 1, 1] * V[:, 2, 2]
+        Vinv = patchops.inv3x3(Vstar + 1e-12 * jnp.eye(3))
+        Vinv = jnp.where((diag_prod == 0.0)[:, None, None], 0.0, Vinv)
+
+        # Partial reduced camera system from this point shard,
+        # completed with ONE (6C)^2 psum — communication independent
+        # of P and M (the whole point of this module).
+        WV = jnp.einsum("pcab,pbd->pcad", Wfull, Vinv)
+        WV_m = WV.transpose(1, 2, 0, 3).reshape(C * 6, Pl * 3)
+        S_off = jax.lax.psum(WV_m @ W_m.T, axis).reshape(C, 6, C, 6)
+        corr_rhs = jax.lax.psum(WV_m @ eb.reshape(-1), axis)
+        Ustar = U * (jnp.ones((6, 6)) + lam * jnp.eye(6))
+        S = -S_off + jnp.einsum("jab,jk->jakb", Ustar, jnp.eye(C))
+        rhs = ea - corr_rhs.reshape(C, 6)
+        blk = (free_f[:, None, None, None]
+               * free_f[None, None, :, None])
+        S = S * blk + jnp.einsum(
+            "jab,jk->jakb", jnp.eye(6)[None].repeat(C, 0),
+            jnp.eye(C)) * (1.0 - free_f)[:, None, None, None]
+        rhs = rhs * free_f[:, None]
+        Sm = S.reshape(C * 6, C * 6)
+        # Replicated solve: every device factors the same (6C)^2 S.
+        delta_cam = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(Sm + 1e-8 * jnp.eye(C * 6),
+                                        lower=True),
+            rhs.reshape(-1)).reshape(C, 6)
+        delta_cam = delta_cam * free_f[:, None]
+
+        # Back-substitution is local to the point shard
+        # (ref: src/Bundle.cc:461-483).
+        corr = (delta_cam.reshape(-1) @ W_m).reshape(Pl, 3)
+        delta_pt = jnp.einsum("pab,pb->pa", Vinv, eb - corr)
+        delta_pt = delta_pt * prob.pt_valid[:, None]
+        upd_sq = (jnp.sum(delta_cam ** 2)
+                  + jax.lax.psum(jnp.sum(delta_pt ** 2), axis))
+        conv = upd_sq < cfg.update_squared_convergence_limit
+
+        d_pose = se3lib.se3_exp(delta_cam)
+        new_R = jnp.einsum("cij,cjk->cik", d_pose.R, prob.cam_R)
+        new_t = (jnp.einsum("cij,cj->ci", d_pose.R, prob.cam_t)
+                 + d_pose.t)
+        new_pt = prob.pt_pos + delta_pt
+        # New error: local partial + psum (ref: FindNewError,
+        # src/Bundle.cc:174-203).
+        _, _, _, nerr_sq, nb = bundlelib._project_meas(
+            new_R, new_t, new_pt, local, cam)
+        active = prob.meas_valid & ~prob.meas_bad
+        nerr_local = (jnp.sum(jnp.where(
+            good & ~nb, mest.objective(nerr_sq, sigma_sq, mest_kind),
+            0.0)) + jnp.sum((new_bad | (active & nb))
+                            .astype(jnp.float32)))
+        new_error = jax.lax.psum(nerr_local, axis)
+        return (lam, lam_factor, new_R, new_t, new_pt, n_inner + 1,
+                conv, upd_sq), new_error
+
+    def cond_fn(full):
+        carry, new_error = full
+        *_, n_inner, conv, _u = carry
+        hit_max = (state.iters + n_inner) >= cfg.max_iterations
+        # NaN counts as "not improved" — retry with a larger lambda.
+        return ~(new_error < current_error) & ~conv & ~hit_max
+
+    def body_fn(full):
+        carry, _ = full
+        lam, lam_factor, R_, t_, p_, n_inner, conv, upd = carry
+        lam_factor = lam_factor * 2.0
+        lam = lam * lam_factor
+        return try_lambda((lam, lam_factor, R_, t_, p_, n_inner, conv,
+                           upd))
+
+    first = try_lambda((state.lam, state.lam_factor, prob.cam_R,
+                        prob.cam_t, prob.pt_pos, jnp.int32(0),
+                        jnp.asarray(False), jnp.float32(0.0)))
+    ((lam, lam_factor, new_R, new_t, new_pt, n_inner, conv, upd_sq),
+     new_error) = jax.lax.while_loop(cond_fn, body_fn, first)
+
+    # Numerical failure — see models/bundle.py lm_step (ref:
+    # src/Bundle.cc:149-150).
+    failed = (~jnp.isfinite(new_error) | ~jnp.isfinite(current_error)
+              | ~jnp.isfinite(upd_sq))
+    accept = (new_error < current_error) & ~failed
+    lam = jnp.where(accept,
+                    jnp.maximum(lam * cfg.lambda_good_mult, 1e-10),
+                    lam)
+    lam_factor = jnp.where(accept,
+                           jnp.float32(cfg.lambda_factor_initial),
+                           lam_factor)
+    out_R = jnp.where(accept, new_R, prob.cam_R)
+    out_t = jnp.where(accept, new_t, prob.cam_t)
+    out_pt = jnp.where(accept, new_pt, prob.pt_pos)
+    new_prob = prob._replace(cam_R=out_R, cam_t=out_t, pt_pos=out_pt,
+                             meas_bad=prob.meas_bad | new_bad)
+    return LMState(problem=new_prob, lam=lam, lam_factor=lam_factor,
+                   converged=state.converged | conv,
+                   accepted=state.accepted + accept.astype(jnp.int32),
+                   iters=state.iters + n_inner, last_error=new_error,
+                   failed=state.failed | failed)
+
+
 def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
                          cfg: BundleConfig = BundleConfig(),
                          mest_kind: int = mest.TUKEY, axis: str = "mp"):
@@ -178,151 +337,42 @@ def make_sharded_lm_step(mesh: Mesh, cam: atan.Camera,
     Cameras replicated; points, V/W blocks, and measurements sharded on
     ``axis``. See the module docstring for the communication schedule.
     """
-    repl = P()
-    shd = P(axis)
-    prob_spec = BundleProblem(
-        cam_R=repl, cam_t=repl, cam_fixed=repl, cam_valid=repl,
-        pt_pos=shd, pt_valid=shd,
-        meas_cam=shd, meas_pt=shd, meas_pos=shd,
-        meas_sqrt_inv_noise=shd, meas_valid=shd, meas_bad=shd)
-    state_spec = LMState(problem=prob_spec, lam=repl, lam_factor=repl,
-                         converged=repl, accepted=repl, iters=repl,
-                         last_error=repl, failed=repl)
+    state_spec = _state_spec(axis)
+    sharded = jax.shard_map(
+        lambda s: _sharded_step(s, cam, cfg, mest_kind, axis),
+        mesh=mesh, in_specs=(state_spec,), out_specs=state_spec,
+        check_vma=False)
+    return jax.jit(sharded)
 
-    def step(state: LMState) -> LMState:
-        # Pinned f32 matmul precision — same rationale as bundle.lm_step
-        # (TPU default bf16 passes corrupt the normal equations).
-        with jax.default_matmul_precision("float32"):
-            return _step_body(state)
 
-    def _step_body(state: LMState) -> LMState:
-        prob = state.problem            # local views inside shard_map
-        C = prob.cam_R.shape[0]
-        Pl = prob.pt_pos.shape[0]       # points on THIS shard
-        shard = jax.lax.axis_index(axis)
-        # Localize the global point indices to this shard's block.
-        local = prob._replace(meas_pt=prob.meas_pt - shard * Pl)
+@functools.lru_cache(maxsize=None)
+def cached_sharded_lm_chunk(mesh: Mesh, cfg: BundleConfig,
+                            mest_kind: int, axis: str = "mp"):
+    """Device-side sharded LM loop, cached per (mesh, cfg, estimator)
+    with the camera passed as a traced ARGUMENT — the distributed twin of
+    ``bundle._cached_lm_chunk``. Runs LM steps until converged/failed or
+    ``iter_limit`` inner iterations as ONE dispatch and returns
+    ``(state, flags)`` where flags is the replicated int32 vector
+    (converged, iters, failed, accepted) — exactly one host read per
+    chunk instead of the per-step ``bool(state.converged)`` sync
+    (VERDICT r2: compute_sharded host-synced every LM step)."""
+    state_spec = _state_spec(axis)
 
-        sigma_sq = _sigma_squared_global(local, cam, cfg, mest_kind, axis)
+    def chunk(state: LMState, cam: atan.Camera, iter_limit):
+        def cond(s):
+            return (~s.converged) & (~s.failed) & (s.iters < iter_limit)
 
-        # Per-shard accumulators; only the camera-sized U/ea (and the
-        # error scalar) are completed over the mesh. V/eb/W stay local.
-        (U, ea, V, eb, Wfull, err_local, new_bad,
-         good) = bundlelib._accumulators(local, cam, sigma_sq, cfg,
-                                         mest_kind)
-        U = jax.lax.psum(U, axis)
-        ea = jax.lax.psum(ea, axis)
-        current_error = jax.lax.psum(err_local, axis)
+        def body(s):
+            return _sharded_step(s, cam, cfg, mest_kind, axis)
 
-        # Loop-invariant matrix view of the LOCAL W blocks (see
-        # models/bundle.py lowering notes — XLA hoists this copy).
-        W_m = Wfull.transpose(1, 2, 0, 3).reshape(C * 6, Pl * 3)
-        free = prob.cam_valid & ~prob.cam_fixed
-        free_f = free.astype(jnp.float32)
+        out = jax.lax.while_loop(cond, body, state)
+        flags = jnp.stack([out.converged.astype(jnp.int32), out.iters,
+                           out.failed.astype(jnp.int32), out.accepted])
+        return out, flags
 
-        def try_lambda(carry):
-            lam, lam_factor, _, _, _, n_inner, _c, _u = carry
-            Vstar = V * (jnp.ones((3, 3)) + lam * jnp.eye(3))
-            diag_prod = V[:, 0, 0] * V[:, 1, 1] * V[:, 2, 2]
-            Vinv = patchops.inv3x3(Vstar + 1e-12 * jnp.eye(3))
-            Vinv = jnp.where((diag_prod == 0.0)[:, None, None], 0.0, Vinv)
-
-            # Partial reduced camera system from this point shard,
-            # completed with ONE (6C)^2 psum — communication independent
-            # of P and M (the whole point of this module).
-            WV = jnp.einsum("pcab,pbd->pcad", Wfull, Vinv)
-            WV_m = WV.transpose(1, 2, 0, 3).reshape(C * 6, Pl * 3)
-            S_off = jax.lax.psum(WV_m @ W_m.T, axis).reshape(C, 6, C, 6)
-            corr_rhs = jax.lax.psum(WV_m @ eb.reshape(-1), axis)
-            Ustar = U * (jnp.ones((6, 6)) + lam * jnp.eye(6))
-            S = -S_off + jnp.einsum("jab,jk->jakb", Ustar, jnp.eye(C))
-            rhs = ea - corr_rhs.reshape(C, 6)
-            blk = (free_f[:, None, None, None]
-                   * free_f[None, None, :, None])
-            S = S * blk + jnp.einsum(
-                "jab,jk->jakb", jnp.eye(6)[None].repeat(C, 0),
-                jnp.eye(C)) * (1.0 - free_f)[:, None, None, None]
-            rhs = rhs * free_f[:, None]
-            Sm = S.reshape(C * 6, C * 6)
-            # Replicated solve: every device factors the same (6C)^2 S.
-            delta_cam = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(Sm + 1e-8 * jnp.eye(C * 6),
-                                            lower=True),
-                rhs.reshape(-1)).reshape(C, 6)
-            delta_cam = delta_cam * free_f[:, None]
-
-            # Back-substitution is local to the point shard
-            # (ref: src/Bundle.cc:461-483).
-            corr = (delta_cam.reshape(-1) @ W_m).reshape(Pl, 3)
-            delta_pt = jnp.einsum("pab,pb->pa", Vinv, eb - corr)
-            delta_pt = delta_pt * prob.pt_valid[:, None]
-            upd_sq = (jnp.sum(delta_cam ** 2)
-                      + jax.lax.psum(jnp.sum(delta_pt ** 2), axis))
-            conv = upd_sq < cfg.update_squared_convergence_limit
-
-            d_pose = se3lib.se3_exp(delta_cam)
-            new_R = jnp.einsum("cij,cjk->cik", d_pose.R, prob.cam_R)
-            new_t = (jnp.einsum("cij,cj->ci", d_pose.R, prob.cam_t)
-                     + d_pose.t)
-            new_pt = prob.pt_pos + delta_pt
-            # New error: local partial + psum (ref: FindNewError,
-            # src/Bundle.cc:174-203).
-            _, _, _, nerr_sq, nb = bundlelib._project_meas(
-                new_R, new_t, new_pt, local, cam)
-            active = prob.meas_valid & ~prob.meas_bad
-            nerr_local = (jnp.sum(jnp.where(
-                good & ~nb, mest.objective(nerr_sq, sigma_sq, mest_kind),
-                0.0)) + jnp.sum((new_bad | (active & nb))
-                                .astype(jnp.float32)))
-            new_error = jax.lax.psum(nerr_local, axis)
-            return (lam, lam_factor, new_R, new_t, new_pt, n_inner + 1,
-                    conv, upd_sq), new_error
-
-        def cond_fn(full):
-            carry, new_error = full
-            *_, n_inner, conv, _u = carry
-            hit_max = (state.iters + n_inner) >= cfg.max_iterations
-            # NaN counts as "not improved" — retry with a larger lambda.
-            return ~(new_error < current_error) & ~conv & ~hit_max
-
-        def body_fn(full):
-            carry, _ = full
-            lam, lam_factor, R_, t_, p_, n_inner, conv, upd = carry
-            lam_factor = lam_factor * 2.0
-            lam = lam * lam_factor
-            return try_lambda((lam, lam_factor, R_, t_, p_, n_inner, conv,
-                               upd))
-
-        first = try_lambda((state.lam, state.lam_factor, prob.cam_R,
-                            prob.cam_t, prob.pt_pos, jnp.int32(0),
-                            jnp.asarray(False), jnp.float32(0.0)))
-        ((lam, lam_factor, new_R, new_t, new_pt, n_inner, conv, upd_sq),
-         new_error) = jax.lax.while_loop(cond_fn, body_fn, first)
-
-        # Numerical failure — see models/bundle.py lm_step (ref:
-        # src/Bundle.cc:149-150).
-        failed = (~jnp.isfinite(new_error) | ~jnp.isfinite(current_error)
-                  | ~jnp.isfinite(upd_sq))
-        accept = (new_error < current_error) & ~failed
-        lam = jnp.where(accept,
-                        jnp.maximum(lam * cfg.lambda_good_mult, 1e-10),
-                        lam)
-        lam_factor = jnp.where(accept,
-                               jnp.float32(cfg.lambda_factor_initial),
-                               lam_factor)
-        out_R = jnp.where(accept, new_R, prob.cam_R)
-        out_t = jnp.where(accept, new_t, prob.cam_t)
-        out_pt = jnp.where(accept, new_pt, prob.pt_pos)
-        new_prob = prob._replace(cam_R=out_R, cam_t=out_t, pt_pos=out_pt,
-                                 meas_bad=prob.meas_bad | new_bad)
-        return LMState(problem=new_prob, lam=lam, lam_factor=lam_factor,
-                       converged=state.converged | conv,
-                       accepted=state.accepted + accept.astype(jnp.int32),
-                       iters=state.iters + n_inner, last_error=new_error,
-                       failed=state.failed | failed)
-
-    sharded = jax.shard_map(step, mesh=mesh, in_specs=(state_spec,),
-                            out_specs=state_spec, check_vma=False)
+    sharded = jax.shard_map(
+        chunk, mesh=mesh, in_specs=(state_spec, _CAM_SPEC, P()),
+        out_specs=(state_spec, P()), check_vma=False)
     return jax.jit(sharded)
 
 
@@ -332,18 +382,20 @@ def compute_sharded(problem: BundleProblem, mesh: Mesh, cam: atan.Camera,
                     abort_check=None,
                     checkpoint_path: str | None = None,
                     checkpoint_every: int = 5,
+                    steps_per_dispatch: int = 5,
                     _initial_state: LMState | None = None
                     ) -> Tuple[LMState, int]:
-    """Distributed Bundle::Compute: loop sharded LM steps on the host.
+    """Distributed Bundle::Compute: loop sharded LM chunks on the host.
 
     The returned state's measurement arrays are mapped back to the input
     problem's measurement order (padding dropped), so callers can index
     outlier flags exactly as with the single-chip ``bundle.compute``.
 
     ``checkpoint_path``: if set, the LMState is written to disk every
-    ``checkpoint_every`` accepted LM steps, giving the multi-host global
-    BA restartability the reference lacks (SURVEY §5.3); resume with
-    ``resume_sharded`` on any mesh size.
+    ``checkpoint_every`` dispatched chunks (``steps_per_dispatch`` LM
+    iterations each), giving the multi-host global BA restartability the
+    reference lacks (SURVEY §5.3); resume with ``resume_sharded`` on any
+    mesh size.
     """
     if _initial_state is None:
         original = problem
@@ -355,13 +407,18 @@ def compute_sharded(problem: BundleProblem, mesh: Mesh, cam: atan.Camera,
         sharded_prob, perm = shard_problem(original, mesh,
                                            return_perm=True)
         state = _initial_state._replace(problem=sharded_prob)
-    step = make_sharded_lm_step(mesh, cam, cfg, mest_kind)
+    chunkf = cached_sharded_lm_chunk(mesh, cfg, mest_kind)
     n = 0
-    while (not bool(state.converged)
-           and int(state.iters) < cfg.max_iterations):
-        state = step(state)
+    iters = int(state.iters)
+    while iters < cfg.max_iterations:
+        target = jnp.int32(min(iters + steps_per_dispatch,
+                               cfg.max_iterations))
+        state, flags = chunkf(state, cam, target)
         n += 1
-        if bool(state.failed):
+        # ONE blocking read per chunk (not per LM step).
+        conv, iters, failed, _accepted = (
+            int(x) for x in np.asarray(flags))
+        if conv or failed:
             break
         if checkpoint_path is not None and n % checkpoint_every == 0:
             from ptam_cg_tpu.io.checkpoint import save_ba_state
