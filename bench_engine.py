@@ -63,6 +63,15 @@ def main():
                                 max_kfs=16, auto_init_frames=6, seed=0,
                                 decision_interval=8,
                                 async_mapping=use_async)
+    # Pin the BA size tiers to this run's peak (16 KFs / <2048 pts /
+    # <8192 meas): tier floors ratchet, so pinning them up front means
+    # ONE compiled BA shape for the whole run — a tier crossing inside
+    # the timed window would otherwise stall on this backend's 1-3 min
+    # remote compile. (The adaptive tiers still govern correctness; this
+    # is the documented warm-start knob for latency-critical runs.)
+    eng.mapmaker._tier_c_floor = 16
+    eng.mapmaker._tier_p_floor = 2048
+    eng.mapmaker._tier_m_floor = 8192
 
     def prefetched():
         nxt = jax.device_put(frames[0])

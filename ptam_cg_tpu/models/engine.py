@@ -335,6 +335,8 @@ class SLAMEngine:
                         self._prev_sbi_track = features.sbi_track
                         self._pending = None
                         self._n_points_host = int(self.map.n_points())
+                        self.mapmaker._n_points_hint = \
+                            self._n_points_host
 
         elif self.stage == Stage.TRACKING:
             # BA numerical failure -> map is probably corrupt: ditch it
@@ -367,6 +369,9 @@ class SLAMEngine:
                  self._n_points_host) = (int(x) for x in pinfo)
                 self._last_quality = quality
                 self._last_n_found = n_found
+                # Keep the MapMaker's BA size tiers fed with the live
+                # point count (see MapMaker._ba_caps).
+                self.mapmaker._n_points_hint = self._n_points_host
 
                 # Relocalize if lost (ref: src/Tracker.cc:168-207).
                 if lost > self.cfg.tracker.max_lost_frames:
@@ -435,6 +440,7 @@ class SLAMEngine:
                 pinfo = np.asarray(info)
                 (self._last_quality, _, self._last_n_found, _,
                  self._n_points_host) = (int(x) for x in pinfo)
+                self.mapmaker._n_points_hint = self._n_points_host
                 self._frames_since_decision = 0
             quality = self._last_quality
             n_found = self._last_n_found

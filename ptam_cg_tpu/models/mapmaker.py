@@ -400,10 +400,10 @@ def epipolar_job(m: MapState, src_kf, new_point_mask: Array, level: int,
 
 
 def apply_bundle_job(m: MapState, prob, meas_k, meas_p, adjust_kf,
-                     point_mask, failure_mask):
+                     point_mask, failure_mask, cam_idx=None, pt_idx=None):
     """apply_bundle + failure-queue accumulation in one program."""
     out, retry = apply_bundle(m, prob, meas_k, meas_p, adjust_kf,
-                              point_mask)
+                              point_mask, cam_idx, pt_idx)
     return out, failure_mask | retry
 
 
@@ -513,6 +513,34 @@ def extract_bundle(m: MapState, adjust_kf: Array, fixed_kf: Array,
     pt_ok = point_mask & m.point_valid
     include = m.meas_valid & incl_kf[:, None] & pt_ok[None, :]
     n = jnp.sum(include.astype(jnp.int32))
+    k_idx, p_idx = _select_measurements(m, include, max_meas, n)
+    mvalid = jnp.arange(max_meas) < n
+
+    level = m.meas_level[k_idx, p_idx]
+    prob = bundlelib.BundleProblem(
+        cam_R=m.kf_R, cam_t=m.kf_t,
+        cam_fixed=fixed_kf | ~adjust_kf,
+        cam_valid=incl_kf,
+        pt_pos=m.point_pos, pt_valid=pt_ok,
+        meas_cam=k_idx, meas_pt=p_idx,
+        meas_pos=m.meas_pos[k_idx, p_idx],
+        meas_sqrt_inv_noise=1.0 / levelops.level_scale(level),
+        meas_valid=mvalid,
+        meas_bad=jnp.zeros(max_meas, bool))
+    return prob, k_idx, p_idx, n
+
+
+def _pow2ceil(n: int) -> int:
+    """Smallest power of two >= n (n >= 1)."""
+    return 1 << (max(int(n), 1) - 1).bit_length()
+
+
+def _select_measurements(m: MapState, include: Array, max_meas: int,
+                         n: Array):
+    """Pick ``max_meas`` (k, p) measurement indices from the (K, P)
+    ``include`` table — lexical when everything fits, PRIORITIZED on
+    overflow (see extract_bundle docstring for the policy)."""
+    K, P = include.shape
 
     def lexical(_):
         k, p = jnp.nonzero(include, size=max_meas, fill_value=0)
@@ -531,38 +559,103 @@ def extract_bundle(m: MapState, adjust_kf: Array, fixed_kf: Array,
 
     # Only the taken branch executes under lax.cond, so the top_k over
     # the full (K*P) table costs nothing until an overflow happens.
-    k_idx, p_idx = jax.lax.cond(n <= max_meas, lexical, prioritized,
-                                None)
-    mvalid = jnp.arange(max_meas) < n
+    return jax.lax.cond(n <= max_meas, lexical, prioritized, None)
 
+
+def extract_bundle_compact(m: MapState, adjust_kf: Array, fixed_kf: Array,
+                           point_mask: Array, max_cams: int, max_pts: int,
+                           max_meas: int):
+    """``extract_bundle`` with CAMERA and POINT compaction: the problem
+    is gathered into (max_cams, max_pts, max_meas)-shaped buffers holding
+    only included cameras / observed points, so LM-step cost follows the
+    LIVE map size instead of the map's static capacity. MapMaker sizes
+    the caps from host-known counts in power-of-two tiers
+    (``MapMaker._ba_caps``) — the round-2 engine paid full-capacity
+    shapes (C=16, P=4096, M=16384) for a ~10-KF/450-pt map on every BA
+    dispatch, which showed up as 80-115 ms mapping spikes in the engine
+    bench (p95; the median pipelined frame is ~0.7 ms).
+
+    Returns ``(prob, meas_k, meas_p, cam_idx, pt_idx, counts)``:
+    ``meas_k``/``meas_p`` stay GLOBAL (K, P)-space indices (outlier
+    write-back uses them), ``cam_idx``/``pt_idx`` map compact slot ->
+    global index (fill K / P = unused slot), and ``counts`` is the int32
+    vector (n_cams, n_pts, n_meas) of TRUE pre-cap sizes for the
+    caller's deferred overflow check (tier escalation / warning).
+    """
+    K, P = m.meas_valid.shape
+    incl_kf = adjust_kf | fixed_kf
+    pt_ok = point_mask & m.point_valid
+    include = m.meas_valid & incl_kf[:, None] & pt_ok[None, :]
+    pt_used = jnp.any(include, axis=0)
+    n_c = jnp.sum(incl_kf.astype(jnp.int32))
+    n_p = jnp.sum(pt_used.astype(jnp.int32))
+    n = jnp.sum(include.astype(jnp.int32))
+
+    cam_idx = jnp.nonzero(incl_kf, size=max_cams,
+                          fill_value=K)[0].astype(jnp.int32)
+    pt_idx = jnp.nonzero(pt_used, size=max_pts,
+                         fill_value=P)[0].astype(jnp.int32)
+    # Global -> compact slot maps; overflowing/unincluded entries keep
+    # the out-of-range cap value (their measurements are masked below;
+    # one-hot rows / mode="drop" scatters drop them device-side).
+    cam_slot = jnp.full((K,), max_cams, jnp.int32).at[cam_idx].set(
+        jnp.arange(max_cams, dtype=jnp.int32), mode="drop")
+    pt_slot = jnp.full((P,), max_pts, jnp.int32).at[pt_idx].set(
+        jnp.arange(max_pts, dtype=jnp.int32), mode="drop")
+
+    k_idx, p_idx = _select_measurements(m, include, max_meas, n)
+    mc = cam_slot[k_idx]
+    mp = pt_slot[p_idx]
+    mvalid = ((jnp.arange(max_meas) < n) & (mc < max_cams)
+              & (mp < max_pts))
+
+    cam_g = jnp.minimum(cam_idx, K - 1)     # clamp gathers; slots with
+    pt_g = jnp.minimum(pt_idx, P - 1)       # fill stay invalid below
     level = m.meas_level[k_idx, p_idx]
     prob = bundlelib.BundleProblem(
-        cam_R=m.kf_R, cam_t=m.kf_t,
-        cam_fixed=fixed_kf | ~adjust_kf,
-        cam_valid=incl_kf,
-        pt_pos=m.point_pos, pt_valid=pt_ok,
-        meas_cam=k_idx, meas_pt=p_idx,
+        cam_R=m.kf_R[cam_g], cam_t=m.kf_t[cam_g],
+        cam_fixed=(fixed_kf | ~adjust_kf)[cam_g] | (cam_idx >= K),
+        cam_valid=incl_kf[cam_g] & (cam_idx < K),
+        pt_pos=m.point_pos[pt_g],
+        pt_valid=pt_used[pt_g] & (pt_idx < P),
+        meas_cam=mc, meas_pt=mp,
         meas_pos=m.meas_pos[k_idx, p_idx],
         meas_sqrt_inv_noise=1.0 / levelops.level_scale(level),
         meas_valid=mvalid,
         meas_bad=jnp.zeros(max_meas, bool))
-    return prob, k_idx, p_idx, n
+    counts = jnp.stack([n_c, n_p, n])
+    return prob, k_idx, p_idx, cam_idx, pt_idx, counts
 
 
 def apply_bundle(m: MapState, prob: bundlelib.BundleProblem,
                  meas_k: Array, meas_p: Array, adjust_kf: Array,
-                 point_mask: Array) -> Tuple[MapState, Array]:
+                 point_mask: Array, cam_idx: Optional[Array] = None,
+                 pt_idx: Optional[Array] = None) -> Tuple[MapState, Array]:
     """Write back BA results + outlier handling by provenance
     (ref: src/MapMaker.cc:893-933).
+
+    ``cam_idx``/``pt_idx``: compact slot -> global index maps from
+    ``extract_bundle_compact`` (None for the dense full-capacity
+    extract). ``meas_k``/``meas_p`` are global either way.
 
     Returns (map, failure_mask (K, P)) where failure_mask marks
     measurements to retry via the failure queue.
     """
     K, P = m.meas_valid.shape
     pt_ok = point_mask & m.point_valid
-    new_R = jnp.where(adjust_kf[:, None, None], prob.cam_R, m.kf_R)
-    new_t = jnp.where(adjust_kf[:, None], prob.cam_t, m.kf_t)
-    new_pts = jnp.where(pt_ok[:, None], prob.pt_pos, m.point_pos)
+    if cam_idx is None:
+        cam_R_full, cam_t_full = prob.cam_R, prob.cam_t
+        pt_pos_full = prob.pt_pos
+    else:
+        # Scatter compact results back to capacity space; out-of-range
+        # fill slots (K / P) drop. Untouched entries keep map values.
+        cam_R_full = m.kf_R.at[cam_idx].set(prob.cam_R, mode="drop")
+        cam_t_full = m.kf_t.at[cam_idx].set(prob.cam_t, mode="drop")
+        pt_pos_full = m.point_pos.at[pt_idx].set(prob.pt_pos,
+                                                 mode="drop")
+    new_R = jnp.where(adjust_kf[:, None, None], cam_R_full, m.kf_R)
+    new_t = jnp.where(adjust_kf[:, None], cam_t_full, m.kf_t)
+    new_pts = jnp.where(pt_ok[:, None], pt_pos_full, m.point_pos)
 
     out_mask2d = jnp.zeros((K, P), bool).at[meas_k, meas_p].max(
         prob.meas_bad & prob.meas_valid)
@@ -673,10 +766,24 @@ class MapMaker:
                 m_, src, npm, lev, cam, image_size, wiggle, thin))
             for lev in range(LEVELS)}
         self._jit_local_masks = jax.jit(local_ba_masks)
-        self._jit_extract = jax.jit(
-            lambda m_, a, f, pm: extract_bundle(m_, a, f, pm,
-                                                self.max_ba_meas))
+        #: Compact extraction: static (max_cams, max_pts, max_meas) caps
+        #: — one compiled variant per tier, cached by jit's shape/static
+        #: specialization.
+        self._jit_extract = jax.jit(extract_bundle_compact,
+                                    static_argnums=(4, 5, 6))
         self._jit_apply = jax.jit(apply_bundle_job)
+        # --- BA size tiers (power-of-two caps; see extract_bundle_compact
+        # and _ba_caps). Floors only ratchet UP (overflow escalation).
+        self._tier_c_floor = 4
+        self._tier_p_floor = 1024
+        self._tier_m_floor = 4096
+        #: Host-side live point-count estimate; the engine refreshes it
+        #: from its deferred decision reads (lags <= decision_interval
+        #: frames — the 1.5x tier margin absorbs the lag).
+        self._n_points_hint = 0
+        #: True measurement count observed at the last BA extract
+        #: (deferred read) — sizes the next run's measurement cap.
+        self._last_n_sel = 0
         self._jit_gc = jax.jit(lambda m_: handle_bad_points(m_, cfg))
         self._jit_plane_align = jax.jit(
             lambda m_, key: apply_global_transform(
@@ -689,7 +796,6 @@ class MapMaker:
         #: bool(self.map.good) in step() was a blocking device round
         #: trip on every frame whose map object had just changed.
         self.good_host = bool(m.good)
-        self._overflow_checked_at_kfs = -1
         #: Deferred KF-integration result (see integrate_keyframe): the
         #: (slot, n_added) vector is async-copied and read on a later
         #: pass so the KF frame never blocks on the integrate program.
@@ -742,22 +848,40 @@ class MapMaker:
     # frame loop never blocks on BA (a blocking read costs ~20-30 ms on
     # a networked backend regardless of compute).
 
+    def _ba_caps(self):
+        """Power-of-two BA problem caps from HOST-known size estimates
+        (no device reads): keyframe count, the engine-fed live point
+        count, and the previous extract's true measurement count. The
+        margins + the ratcheting floors keep overflow transient: an
+        undersized pass still optimizes a correct (prioritized) subset,
+        escalates the floor, and the next pass covers everything. Caps
+        are clamped to map capacity / max_ba_meas — a warning only fires
+        when even the MAXIMUM tier overflows (see _ba_poll)."""
+        K, P = self.map.meas_valid.shape
+        n_c = max(self._n_kfs_host + len(self.kf_queue),
+                  self._tier_c_floor)
+        c_cap = min(_pow2ceil(n_c), _pow2ceil(K))
+        n_p = max(int(self._n_points_hint * 1.5) + 64,
+                  self._tier_p_floor)
+        p_cap = min(_pow2ceil(n_p), _pow2ceil(P))
+        n_m = max(int(self._last_n_sel * 1.5), c_cap * 256,
+                  self._tier_m_floor)
+        m_cap = min(_pow2ceil(n_m), _pow2ceil(self.max_ba_meas))
+        return c_cap, p_cap, m_cap
+
     def _ba_start(self, adjust_kf, fixed_kf, point_mask, recent: bool,
                   full: bool = False, sharded: bool = False):
-        prob, mk, mp, n_sel = self._jit_extract(self.map, adjust_kf,
-                                                fixed_kf, point_mask)
+        caps = self._ba_caps()
+        prob, mk, mp, cam_idx, pt_idx, counts = self._jit_extract(
+            self.map, adjust_kf, fixed_kf, point_mask, *caps)
         # Capacity-overflow check: deferred (async copy, read at the
-        # first chunk poll) and only when the keyframe set changed since
-        # the last check — never a blocking read in the frame loop.
-        check_sel = None
-        if self._overflow_checked_at_kfs != self._n_kfs_host:
-            self._overflow_checked_at_kfs = self._n_kfs_host
-            n_sel.copy_to_host_async()
-            check_sel = n_sel
-        self._ba_job = dict(mk=mk, mp=mp,
+        # first chunk poll together with the chunk flags) — never a
+        # blocking read in the frame loop.
+        counts.copy_to_host_async()
+        self._ba_job = dict(mk=mk, mp=mp, cam_idx=cam_idx, pt_idx=pt_idx,
                             adjust=adjust_kf, pmask=point_mask,
                             recent=recent, full=full, flags=None,
-                            check_sel=check_sel, sharded=sharded)
+                            check_sel=counts, caps=caps, sharded=sharded)
         if sharded:
             # Point-shard the problem over the mesh; the host-side
             # measurement reorder blocks on the extract result, which is
@@ -799,9 +923,25 @@ class MapMaker:
         if not block and not job["flags"].is_ready():
             return True
         if job.get("check_sel") is not None:
-            n_sel = int(np.asarray(job["check_sel"]))
+            n_c, n_p, n_sel = (int(x) for x in
+                               np.asarray(job["check_sel"]))
             job["check_sel"] = None
-            if n_sel > self.max_ba_meas:
+            c_cap, p_cap, m_cap = job["caps"]
+            self._last_n_sel = n_sel
+            # Tier escalation: an undersized cap ratchets its floor so
+            # the NEXT extract covers everything; this pass already ran
+            # on a correct (prioritized) subset. A warning fires only
+            # when the MAXIMUM tier (map capacity / max_ba_meas) is the
+            # one that overflowed.
+            if n_c > c_cap:
+                self._tier_c_floor = max(self._tier_c_floor, n_c)
+            if n_p > p_cap:
+                self._tier_p_floor = max(self._tier_p_floor,
+                                         int(n_p * 1.25))
+            if n_sel > m_cap:
+                self._tier_m_floor = max(self._tier_m_floor,
+                                         int(n_sel * 1.25))
+            if n_sel > m_cap and m_cap >= self.max_ba_meas:
                 import warnings
                 warnings.warn(
                     f"BA measurement capacity exceeded: {n_sel} "
@@ -837,7 +977,8 @@ class MapMaker:
                 job["orig_prob"], prob, job["perm"])
         self.map, self.failure_mask = self._jit_apply(
             self.map, prob, job["mk"], job["mp"],
-            job["adjust"], job["pmask"], self.failure_mask)
+            job["adjust"], job["pmask"], self.failure_mask,
+            job["cam_idx"], job["pt_idx"])
         self._failures_pending = True
         self._map_dirty = True
         if accepted > 0:

@@ -213,6 +213,100 @@ def test_bundle_adjust_failure_requests_reset(monkeypatch):
     assert maker.step(None) is None
 
 
+def test_extract_compact_matches_dense():
+    """Compact (tiered) extraction must build the same BA problem as the
+    dense full-capacity extract, just re-indexed through cam_idx/pt_idx,
+    and apply_bundle must scatter results back to the right slots."""
+    m = base_map()
+    rng = np.random.default_rng(3)
+    P = m.point_pos.shape[0]
+    m = m._replace(
+        point_pos=jnp.asarray(rng.normal(size=(P, 3)).astype(np.float32)),
+        point_valid=jnp.asarray((np.arange(P) % 3) == 0),   # scattered
+        kf_valid=m.kf_valid.at[1].set(True).at[3].set(True),
+        meas_valid=m.meas_valid.at[1, ::3].set(True)
+        .at[3, ::3].set(True),
+        meas_pos=jnp.asarray(rng.uniform(0, 64, (4, P, 2))
+                             .astype(np.float32)))
+    adjust = jnp.asarray([False, True, False, True])
+    fixed = jnp.zeros(4, bool)
+    dense_prob, dk, dp, n_dense = mm.extract_bundle(
+        m, adjust, fixed, m.point_valid, 256)
+    (cprob, mk, mp, cam_idx, pt_idx,
+     counts) = mm.extract_bundle_compact(m, adjust, fixed, m.point_valid,
+                                         2, 64, 256)
+    n_c, n_p, n_sel = (int(x) for x in np.asarray(counts))
+    assert n_c == 2 and n_sel == int(n_dense)
+    assert n_p == int((m.point_valid & (m.meas_valid[1]
+                                        | m.meas_valid[3])).sum())
+    # Compact cam/pt slots reference the same global entities.
+    np.testing.assert_array_equal(np.asarray(cam_idx), [1, 3])
+    live_pts = np.asarray(pt_idx)[np.asarray(pt_idx) < P]
+    assert len(live_pts) == n_p
+    np.testing.assert_allclose(np.asarray(cprob.pt_pos)[:n_p],
+                               np.asarray(m.point_pos)[live_pts])
+    # Measurement tables agree entry-for-entry in global space.
+    np.testing.assert_array_equal(np.asarray(mk)[:n_sel],
+                                  np.asarray(dk)[:n_sel])
+    np.testing.assert_array_equal(np.asarray(mp)[:n_sel],
+                                  np.asarray(dp)[:n_sel])
+    np.testing.assert_allclose(np.asarray(cprob.meas_pos),
+                               np.asarray(dense_prob.meas_pos))
+    assert int(cprob.meas_valid.sum()) == n_sel
+    # Round-trip apply with perturbed compact results: only the compact
+    # slots' global entries change.
+    moved = cprob._replace(
+        cam_t=cprob.cam_t + 1.0,
+        pt_pos=cprob.pt_pos + jnp.asarray([0.0, 0.0, 5.0]))
+    out, retry = mm.apply_bundle(m, moved, mk, mp, adjust,
+                                 m.point_valid, cam_idx, pt_idx)
+    np.testing.assert_allclose(np.asarray(out.kf_t)[[1, 3]],
+                               np.asarray(m.kf_t)[[1, 3]] + 1.0)
+    np.testing.assert_allclose(np.asarray(out.kf_t)[[0, 2]],
+                               np.asarray(m.kf_t)[[0, 2]])
+    pts_np = np.asarray(m.point_pos).copy()
+    pts_np[live_pts, 2] += 5.0
+    np.testing.assert_allclose(np.asarray(out.point_pos)[live_pts],
+                               pts_np[live_pts])
+    untouched = np.setdiff1d(np.arange(P), live_pts)
+    np.testing.assert_allclose(np.asarray(out.point_pos)[untouched],
+                               pts_np[untouched])
+    assert not bool(retry.any())
+
+
+def test_mapmaker_tier_escalation():
+    """Undersized tiers must ratchet their floors from the deferred
+    counts read instead of warning (warning is reserved for max-tier
+    overflow)."""
+    import warnings
+    from ptam_cg_tpu.camera import atan
+
+    m = base_map(P=64, K=4)
+    m = m._replace(kf_valid=m.kf_valid.at[:2].set(True),
+                   point_valid=m.point_valid.at[:].set(True),
+                   meas_valid=m.meas_valid.at[:2, :].set(True),
+                   meas_pos=m.meas_pos + 32.0,
+                   point_pos=m.point_pos
+                   .at[:, 2].set(2.0)
+                   .at[:, 0].set(jnp.linspace(-0.5, 0.5, 64)),
+                   good=jnp.asarray(True))
+    cam = atan.make_camera((1.0, 1.0, 0.5, 0.5, 0.1), SIZE)
+    maker = mm.MapMaker(m, cam, SIZE)     # max_ba_meas auto = 4*64
+    # Force one undersized pass (the host priors normally prevent this;
+    # escalation is the safety net for when they underestimate).
+    maker._ba_caps = lambda: (4, 64, 32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        maker.bundle_adjust_all()
+    # 128 meas > 32 cap but < max_ba_meas: escalate silently, no warn.
+    assert not any("capacity exceeded" in str(x.message) for x in w)
+    assert maker._tier_m_floor >= 128
+    assert maker._last_n_sel == 128
+    # Next run's caps cover everything.
+    del maker._ba_caps            # restore the real (method) caps
+    assert maker._ba_caps()[2] >= 128
+
+
 def test_extract_bundle_overflow_prioritizes():
     """When n_selected > max_meas the subset must keep every ROOT
     measurement and every measurement of scarcely-observed points
