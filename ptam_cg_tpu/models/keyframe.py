@@ -57,6 +57,20 @@ class FrameFeatures(NamedTuple):
     sbi_track: sbiops.SBI
 
 
+class TrackFeatures(NamedTuple):
+    """Slim per-frame build for the TRACKING stage: just what the
+    tracker reads (the reference's MakeKeyFrame_Lite split,
+    src/KeyFrame.cc:18-54). Keeping the per-frame pytree at 6 leaves
+    instead of FrameFeatures' 13 trims host dispatch cost on a
+    networked backend — the empty nonmax/candidate buffers were being
+    shipped through every build+track dispatch pair."""
+
+    atlas: Array            # (Ha, W) float32 packed pyramid
+    corner_mask: Array      # (Ha, W) bool — raw FAST corners
+    sbi: sbiops.SBI         # relocalizer SBI (blur 2.5)
+    sbi_track: sbiops.SBI   # rotation-estimator SBI (blur 0.75)
+
+
 def make_frame_lite(im: Array,
                     cfg: FrontendConfig = FrontendConfig()) -> tuple:
     """Pyramid + per-level FAST (ref: MakeKeyFrame_Lite,
@@ -146,28 +160,20 @@ def build_frame(im: Array, cfg: FrontendConfig = FrontendConfig(),
 
 def build_frame_tracking(im: Array, cfg: FrontendConfig = FrontendConfig(),
                          sbi_blur: float = 2.5,
-                         track_blur: float = 0.75) -> FrameFeatures:
+                         track_blur: float = 0.75) -> TrackFeatures:
     """Per-frame tracking build: pyramid atlas + corner mask + SBI ONLY.
 
     The reference runs MakeKeyFrame_Rest (nonmax, Shi-Tomasi candidates)
     only on frames that become keyframes (ref: src/KeyFrame.cc:61-82 is
     called from the mapmaker / init paths, not per frame) — the per-frame
-    tracker needs just the corner mask and SBI. The list fields are
-    empty; run ``build_frame`` before inserting a frame as a keyframe.
+    tracker needs just the corner mask and SBI. Returns the slim
+    ``TrackFeatures``; run ``build_frame`` before inserting a frame as a
+    keyframe.
     """
     pyramid, atlas, corner_mask, scores, counts = make_frame_lite(im, cfg)
     the_sbi = sbiops.make_sbi(pyramid[3], sbi_blur)
     sbi_track = sbiops.make_sbi(pyramid[3], track_blur)
     if cfg.atlas_bf16:
         atlas = atlas.astype(jnp.bfloat16)
-    z_i = jnp.zeros((LEVELS, NONMAX_CAP, 2), jnp.int32)
-    z_f = jnp.zeros((LEVELS, NONMAX_CAP), jnp.float32)
-    z_b = jnp.zeros((LEVELS, NONMAX_CAP), bool)
-    c_i = jnp.zeros((LEVELS, CAND_CAP, 2), jnp.int32)
-    c_f = jnp.zeros((LEVELS, CAND_CAP), jnp.float32)
-    c_b = jnp.zeros((LEVELS, CAND_CAP), bool)
-    return FrameFeatures(
-        atlas=atlas, corner_mask=corner_mask, corner_count=counts,
-        max_xy=z_i, max_score=z_f, max_valid=z_b,
-        cand_xy=c_i, cand_score=c_f, cand_valid=c_b, sbi=the_sbi,
-        sbi_track=sbi_track)
+    return TrackFeatures(atlas=atlas, corner_mask=corner_mask,
+                         sbi=the_sbi, sbi_track=sbi_track)

@@ -1,0 +1,72 @@
+"""Large-map e2e: the engine must survive growth to 64 keyframes with no
+BA capacity warnings (VERDICT r2 #2: MAX_KEYFRAMES existed on paper only;
+the old fixed max_ba_meas=4096 silently dropped measurements from global
+BA at a mere 8 keyframes).
+
+The reference runs global BA over ALL keyframes as the map grows
+(ref: src/Bundle.cc:116-158, src/MapMaker.cc:768-783) with no capacity
+ceiling (dynamic allocation); here the static-shape analog is the tiered
+compact extraction (mapmaker.extract_bundle_compact) whose caps ratchet
+with the live map. This test drives an order of magnitude past the old
+failure point and asserts the whole ladder held.
+"""
+
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptam_cg_tpu.config import (CameraConfig, EngineConfig, MapMakerConfig,
+                                TrackerConfig)
+from ptam_cg_tpu.io import synth
+from ptam_cg_tpu.models import engine as engine_lib
+from ptam_cg_tpu.utils import evaluate
+from ptam_cg_tpu.utils.se3 import SE3
+
+REF_PARAMS = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
+SIZE = (320, 240)
+
+
+@pytest.mark.slow
+def test_engine_grows_to_64_keyframes():
+    n_frames = 215
+    seq = synth.SyntheticSequence(REF_PARAMS, image_size=SIZE,
+                                  n_frames=n_frames, seed=11, height=1.5,
+                                  radius=1.0, sweep=3.0)
+    cfg = EngineConfig(
+        camera=CameraConfig(params=REF_PARAMS, image_size=SIZE),
+        tracker=TrackerConfig(min_frames_between_kfs=2),
+        mapmaker=MapMakerConfig(candidate_min_shi_tomasi_score=70.0,
+                                max_kf_dist_wiggle_mult=0.25))
+    eng = engine_lib.SLAMEngine(cfg, image_size=SIZE, max_points=4096,
+                                max_kfs=64, auto_init_frames=5, seed=0)
+    est, gt = [], []
+    n_kfs_seen = 0
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        for i in range(n_frames):
+            info = eng.process_frame(seq.frame(i))
+            n_kfs_seen = max(n_kfs_seen, info.n_kfs)
+            if info.stage == "TRACKING":
+                est.append(np.asarray(evaluate.camera_centers(
+                    SE3(info.pose.R[None], info.pose.t[None])))[0])
+            c = seq.pose(i)
+            if info.stage == "TRACKING":
+                gt.append(np.asarray(-jnp.asarray(c.R).T
+                                     @ jnp.asarray(c.t)))
+    # The map actually reached keyframe capacity.
+    assert n_kfs_seen >= 64, n_kfs_seen
+    assert info.n_points > 1000, info.n_points
+    # NEVER a silent (or warned) BA capacity overflow: tier escalation
+    # must have kept every global BA pass complete.
+    overflow = [w for w in wlist
+                if "capacity exceeded" in str(w.message)]
+    assert not overflow, [str(w.message) for w in overflow]
+    # Still tracking, still accurate at the end of the run.
+    assert info.stage == "TRACKING"
+    assert info.quality == 2, info.quality
+    ate = evaluate.ate_rmse(jnp.asarray(np.stack(est)),
+                            jnp.asarray(np.stack(gt)))
+    span = np.linalg.norm(np.stack(gt).max(0) - np.stack(gt).min(0))
+    assert ate < 0.03 * span, (ate, span)
