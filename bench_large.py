@@ -1,0 +1,149 @@
+"""Benchmark: engine throughput + mapping-job latency at LARGE map scale
+on real hardware — 640x480, map capacity 64 keyframes / 8192 points, a
+slow monotonic sweep that drives the map to keyframe capacity
+(VERDICT r2 #2: nothing had ever run e2e beyond 16 KFs; the reference
+runs global BA over all keyframes as the map grows,
+ref: src/MapMaker.cc:768-783, src/Bundle.cc:116-158).
+
+Prints ONE JSON line (engine FPS at 64-KF scale, frames measured after
+the map is full-size) plus a latency table on stderr:
+  - keyframe integration (one jitted dispatch, K=64 shapes)
+  - refind-all scan over 64 KF slots
+  - global BA: LM steps/s at the live problem size, full convergence time
+
+Tier floors are pinned to the run's peak so the timed window contains no
+tier-crossing recompiles (minutes each on this remote-compile backend).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ptam_cg_tpu.config import (CameraConfig, EngineConfig,
+                                    MapMakerConfig, TrackerConfig)
+    from ptam_cg_tpu.io import synth
+    from ptam_cg_tpu.models import engine as engine_lib
+
+    size = (640, 480)
+    params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
+    n_frames = 330
+    warm = 230          # map reaches 64 KFs around frame ~200
+    seq = synth.SyntheticSequence(params, image_size=size,
+                                  n_frames=n_frames, seed=11, height=1.5,
+                                  radius=1.0, sweep=1.5)
+    frames = [np.asarray(seq.frame(i)).astype(np.uint8)
+              for i in range(n_frames)]
+
+    cfg = EngineConfig(
+        camera=CameraConfig(params=params, image_size=size),
+        tracker=TrackerConfig(min_frames_between_kfs=2),
+        mapmaker=MapMakerConfig(candidate_min_shi_tomasi_score=100.0,
+                                max_kf_dist_wiggle_mult=0.12))
+    eng = engine_lib.SLAMEngine(cfg, image_size=size, max_points=8192,
+                                max_kfs=64, auto_init_frames=6, seed=0,
+                                decision_interval=8)
+    mm = eng.mapmaker
+    # Pin BA tiers at the peak so the whole run uses ONE compiled shape
+    # per job (see README "Performance notes").
+    mm._tier_c_floor = 64
+    mm._tier_p_floor = 4096
+    mm._tier_m_floor = 32768
+
+    def prefetched():
+        nxt = jax.device_put(frames[0])
+        for i in range(n_frames):
+            cur = nxt
+            if i + 1 < n_frames:
+                nxt = jax.device_put(frames[i + 1])
+            yield i, cur
+
+    times = []
+    t0 = None
+    t_warm0 = time.perf_counter()
+    for i, frame in prefetched():
+        t1 = time.perf_counter()
+        info = eng.process_frame(frame)
+        if i == warm - 1:
+            print(f"# warmup: {warm} frames in "
+                  f"{time.perf_counter() - t_warm0:.1f}s, "
+                  f"stage={info.stage} pts={info.n_points} "
+                  f"kfs={info.n_kfs}", file=sys.stderr)
+            assert info.stage == "TRACKING", info
+            t0 = time.perf_counter()
+        elif i >= warm:
+            times.append(time.perf_counter() - t1)
+    total = time.perf_counter() - t0
+    fps = len(times) / total
+    times_ms = np.array(times) * 1000
+    print(f"# engine at 64-KF scale: frame time "
+          f"mean={times_ms.mean():.2f}ms median={np.median(times_ms):.2f}"
+          f"ms p95={np.percentile(times_ms, 95):.2f}ms "
+          f"max={times_ms.max():.2f}ms pts={info.n_points} "
+          f"kfs={info.n_kfs} quality={info.quality} "
+          f"n_sel={mm._last_n_sel}", file=sys.stderr)
+
+    # ---- mapping-job latencies at the 64-KF map ------------------------
+    # Land any in-flight work first.
+    while (mm._pending_integrate is not None or mm._ba_job is not None
+           or mm.kf_queue):
+        if mm._pending_integrate is not None:
+            mm._drain_integrate(block=True)
+        elif mm._ba_job is not None:
+            mm._ba_poll(block=True)
+        else:
+            mm.integrate_keyframe()
+    mm.map = eng.map
+
+    def timeit(fn, n=5):
+        fn()                                   # warm (already compiled)
+        t = time.perf_counter()
+        for _ in range(n):
+            fn()
+        return (time.perf_counter() - t) / n * 1000
+
+    K = mm.map.kf_valid.shape[0]
+    mask2d = jnp.ones_like(mm.failure_mask)
+    t_refind = timeit(lambda: jax.block_until_ready(
+        mm._jit_refind_all(mm.map, mask2d)[0].point_pos))
+
+    caps = mm._ba_caps()
+    ex = lambda: mm._jit_extract(mm.map, mm.map.kf_valid,
+                                 jnp.zeros(K, bool) | mm.map.kf_fixed,
+                                 mm.map.point_valid, *caps)
+    t_extract = timeit(lambda: jax.block_until_ready(ex()[0].pt_pos))
+
+    # Global BA to convergence (fresh jitted chunks, already compiled).
+    from ptam_cg_tpu.models import bundle as bundlelib
+    prob = ex()[0]
+    state = bundlelib.init_lm(prob, mm.ba_cfg)
+    kind = bundlelib.mest.estimator_id(mm.ba_cfg.mestimator)
+    chunkf = bundlelib._cached_lm_chunk(mm.ba_cfg, kind)
+    t = time.perf_counter()
+    state, flags = chunkf(state, mm.cam, jnp.int32(mm.ba_cfg.max_iterations))
+    conv, iters, failed, acc = (int(x) for x in np.asarray(flags))
+    t_ba = time.perf_counter() - t
+    print(f"# mapping-job latency at K=64: refind_all={t_refind:.1f}ms "
+          f"extract={t_extract:.1f}ms "
+          f"globalBA: {iters} LM iters in {t_ba*1000:.0f}ms "
+          f"({iters/max(t_ba,1e-9):.1f} steps/s, caps={caps}, "
+          f"conv={conv} failed={failed})", file=sys.stderr)
+
+    baseline_fps = 30.0
+    print(json.dumps({
+        "metric": "engine_fps_640x480_64kf_map",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 2),
+    }))
+    eng.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,14 @@ def main():
     ap.add_argument("--size", default="640x480")
     ap.add_argument("--nonplanar", action="store_true",
                     help="add raised blocks (parallax + occlusion)")
+    ap.add_argument("--hostile", action="store_true",
+                    help="photometric hostility: exposure/black-level "
+                         "drift, sensor noise, vignette (validation "
+                         "imagery the tracker was not tuned on)")
+    ap.add_argument("--trajectory", choices=["orbit", "loop"],
+                    default="orbit",
+                    help="'loop' = full circuit returning to the start")
+    ap.add_argument("--radius", type=float, default=0.35)
     ap.add_argument("--seed", type=int, default=5)
     args = ap.parse_args()
 
@@ -35,8 +43,10 @@ def main():
     boxes = synth.default_blocks(seed=2, n=4) if args.nonplanar else None
     seq = synth.SyntheticSequence(params, image_size=(w, h),
                                   n_frames=args.frames, seed=args.seed,
-                                  height=1.5, radius=0.35, sweep=1.3,
-                                  boxes=boxes)
+                                  height=1.5, radius=args.radius,
+                                  sweep=1.3, boxes=boxes,
+                                  trajectory=args.trajectory,
+                                  hostile=args.hostile)
     frames = (seq.frame(i) for i in range(args.frames))
     poses = [seq.pose(i) for i in range(args.frames)]
     tum.write_synthetic_dataset(args.out, frames, poses=poses, png=True)

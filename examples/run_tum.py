@@ -36,6 +36,10 @@ def main():
                     help="write a top-down map render (PPM) at the end")
     ap.add_argument("--checkpoint", default=None,
                     help="write a map checkpoint (npz) at the end")
+    ap.add_argument("--commands", default=None, metavar="FILE",
+                    help="scripted console commands (the reference's "
+                         "GUI.ParseLine analog): one per line, optional "
+                         "@FRAME prefix; see ptam_cg_tpu/io/commands.py")
     args = ap.parse_args()
 
     import jax
@@ -96,10 +100,19 @@ def main():
                                          ufb_size=size)
         ar_step = jax.jit(_ar)
 
+    console = None
+    if args.commands:
+        from ptam_cg_tpu.io import commands as cmdlib
+        console = cmdlib.ScriptedConsole(
+            eng, cmdlib.load_command_script(args.commands))
+
     est_centers, gt_centers, times, traj = [], [], [], []
     frame = f0
     ts = ts0
     for i in range(n_frames):
+        if console is not None:
+            for msg in console.on_frame(i):
+                print(f"console @{i}: {msg}")
         t0 = time.perf_counter()
         info = eng.process_frame(frame)
         times.append(time.perf_counter() - t0)
