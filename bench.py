@@ -28,6 +28,7 @@ def main():
     from ptam_cg_tpu.utils import se3 as se3lib
 
     bf16 = "--bf16" in sys.argv
+    bf16_cross = "--bf16-cross" in sys.argv
     size = (640, 480)
     params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
     seq = synth.SyntheticSequence(params, image_size=size, n_frames=8,
@@ -88,6 +89,9 @@ def main():
     m = map_state.refresh_pixel_vectors(m)
 
     cfg = EngineConfig(frontend=fe_cfg)
+    if bf16_cross:
+        from ptam_cg_tpu.config import TrackerConfig
+        cfg = cfg.replace(tracker=TrackerConfig(zmssd_bf16_cross=True))
     cam_params = jnp.asarray(params, jnp.float32)
 
     # Two jitted programs per frame (frontend build + track), with the

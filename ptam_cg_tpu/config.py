@@ -111,6 +111,12 @@ class TrackerConfig:
     #: the systematic integer-corner quantization bias. Set False for
     #: strict reference-behavior parity.
     subpix_all: bool = True
+    #: Compute the ZMSSD cross-correlation term's products in bfloat16
+    #: (f32 accumulation). Image values are uint8-in-spec so products are
+    #: near-exact; halves the VPU element width of the hottest remaining
+    #: tracking-loop op (~0.5 ms of the ~3.3 ms track program).
+    #: Perf experiment — see BASELINE.md ledger for the measured outcome.
+    zmssd_bf16_cross: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -170,7 +170,7 @@ def _pose_jacobian(p_cam: Array, cam_derivs: Array) -> Array:
 def _search_subset(m: MapState, frame: FrameFeatures, pose: SE3,
                    cam: atan.Camera, image_size, idx: Array, active: Array,
                    range_l0: Array, subpix_its: int,
-                   subpix_level3_only: bool):
+                   subpix_level3_only: bool, bf16_cross: bool = False):
     """Template warp + windowed ZMSSD + optional subpix for a gathered
     subset of map points (batched Tracker::SearchForPoints,
     ref: src/Tracker.cc:867-912)."""
@@ -203,7 +203,8 @@ def _search_subset(m: MapState, frame: FrameFeatures, pose: SE3,
 
     res, win, win_origin = patchops.ssd_search(
         frame.atlas, frame.corner_mask, templates, centers, radius, bounds,
-        r_win=R_WIN, max_ssd=MAX_SSD, return_windows=True)
+        r_win=R_WIN, max_ssd=MAX_SSD, return_windows=True,
+        bf16_cross=bf16_cross)
     found = attempted & res.found
 
     pos_atlas = res.pos
@@ -355,7 +356,8 @@ def track_map(m: MapState, frame: FrameFeatures, pose: SE3,
         return _search_subset(
             m, frame, pose, cam, image_size, coarse_idx,
             coarse_active, coarse_range,
-            cfg.coarse_subpix_its, subpix_level3_only=False)
+            cfg.coarse_subpix_its, subpix_level3_only=False,
+            bf16_cross=cfg.zmssd_bf16_cross)
 
     def skip_coarse_search(_):
         zb = jnp.zeros(COARSE_CAP, bool)
@@ -409,7 +411,8 @@ def track_map(m: MapState, frame: FrameFeatures, pose: SE3,
     fres = _search_subset(m, frame, pose_after_coarse, cam, image_size,
                           fine_idx, fine_active, fine_range,
                           subpix_its=8,
-                          subpix_level3_only=not cfg.subpix_all)
+                          subpix_level3_only=not cfg.subpix_all,
+                          bf16_cross=cfg.zmssd_bf16_cross)
 
     # ---- combined GN over coarse + fine measurements -------------------
     all_idx = jnp.concatenate([coarse_idx, fine_idx])

@@ -251,7 +251,8 @@ def ssd_search(atlas: Array, corner_mask: Array, templates: Array,
                r_win: int, max_ssd: float, zero_mean: bool = True,
                require_corner: bool = True,
                patch_size: int = PATCH_SIZE,
-               return_windows: bool = False):
+               return_windows: bool = False,
+               bf16_cross: bool = False):
     """Batched windowed (ZM)SSD search.
 
     atlas: (Ha, Wa) current-frame pyramid atlas; corner_mask: (Ha, Wa)
@@ -294,11 +295,26 @@ def ssd_search(atlas: Array, corner_mask: Array, templates: Array,
 
     # Cross term: per-point correlation as P*P shifted multiply-adds on
     # the VPU (a grouped conv with N groups maps poorly to the MXU).
-    cross = jnp.zeros((N, M, M), win.dtype)
-    for dy in range(P):
-        for dx in range(P):
-            cross = cross + (templates[:, dy, dx][:, None, None]
-                             * win[:, dy: dy + M, dx: dx + M])
+    # bf16_cross: image values are uint8-in-spec (integers <= 255, exact
+    # in bf16's 8-bit mantissa), so the products are computed in bf16 —
+    # halved VPU element width — and only ACCUMULATED in f32. Worst-case
+    # product rounding is ~0.4%, well inside the ZMSSD decision margins
+    # (same in-spec argument as the one-hot gather dots; CLAUDE.md).
+    if bf16_cross:
+        t16 = templates.astype(jnp.bfloat16)
+        w16 = win.astype(jnp.bfloat16)
+        cross = jnp.zeros((N, M, M), jnp.float32)
+        for dy in range(P):
+            for dx in range(P):
+                cross = cross + (t16[:, dy, dx][:, None, None]
+                                 * w16[:, dy: dy + M, dx: dx + M]
+                                 ).astype(jnp.float32)
+    else:
+        cross = jnp.zeros((N, M, M), win.dtype)
+        for dy in range(P):
+            for dx in range(P):
+                cross = cross + (templates[:, dy, dx][:, None, None]
+                                 * win[:, dy: dy + M, dx: dx + M])
 
     npix = float(P * P)
     if zero_mean:

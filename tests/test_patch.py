@@ -102,6 +102,31 @@ def test_ssd_search_finds_planted_patch():
     np.testing.assert_array_equal(np.asarray(res.pos[0]), [40.0, 56.0])
 
 
+def test_ssd_search_bf16_cross_parity():
+    """bf16 cross-term products must pick the same best candidates as
+    f32 on uint8-in-spec imagery (the flag's soundness argument)."""
+    H = W = 96
+    im = np.round(rng(7).uniform(0, 255, (H, W))).astype(np.float32)
+    patch = np.round(rng(8).uniform(0, 255, (8, 8))).astype(np.float32)
+    _plant_patch(im, patch, 40, 56)
+    cmask = np.ones((H, W), bool)
+    args = (jnp.asarray(im), jnp.asarray(cmask), jnp.asarray(patch)[None])
+    kw = dict(centers=jnp.array([[37.0, 52.0]]),
+              radius=jnp.array([10.0]),
+              bounds=jnp.array([[0.0, 0.0, float(W), float(H)]]),
+              r_win=10, max_ssd=8 * 8 * 500.0)
+    r32 = patchops.ssd_search(*args, **kw)
+    r16 = patchops.ssd_search(*args, bf16_cross=True, **kw)
+    np.testing.assert_array_equal(np.asarray(r32.pos), np.asarray(r16.pos))
+    assert bool(r16.found[0])
+    # SSD drift = bf16 product rounding (~0.2% relative, products up to
+    # 255^2, 64 accumulations, doubled in the -2*cross term): a few
+    # thousand absolute against the 32000 acceptance threshold. The
+    # argmin (position) must be exact; the score tolerance is the
+    # honest bf16 bound.
+    assert abs(float(r32.ssd[0]) - float(r16.ssd[0])) < 4000
+
+
 def test_ssd_search_zero_mean_invariance():
     """ZMSSD must match a patch under a constant intensity offset."""
     H = W = 64
