@@ -29,6 +29,7 @@ def main():
 
     bf16 = "--bf16" in sys.argv
     bf16_cross = "--bf16-cross" in sys.argv
+    fused = "--fused" in sys.argv
     size = (640, 480)
     params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
     seq = synth.SyntheticSequence(params, image_size=size, n_frames=8,
@@ -105,6 +106,14 @@ def main():
     track_step = jax.jit(
         lambda s, m_, ff, ps: tracker.track_frame(
             s, m_, ff, ps, cam, size, cam_params, None, cfg.tracker))
+    # --fused: ONE dispatch per frame (build + track in one program).
+    # Round-1 measured the fused program markedly slower; kept as a
+    # re-measurable experiment since the gather rewrites changed the
+    # per-program cost balance.
+    fused_step = jax.jit(
+        lambda s, m_, im, ps: tracker.track_frame_from_image(
+            s, m_, im, ps, cam, size, cam_params, cfg.tracker,
+            cfg.frontend))
 
     state = tracker.init_tracker_state(pose0)
     frames = [seq.frame(i) for i in range(1, 8)]
@@ -114,9 +123,13 @@ def main():
     # the first call's OUTPUT, whose (non-weak) dtypes differ from the
     # hand-built init state — without this the timed loop hides a
     # recompile.
-    ffw = build_step(frames[0])
-    outw = track_step(state, m, ffw, prev_sbi)
-    outw2 = track_step(outw.state, m, ffw, ffw.sbi_track)
+    if fused:
+        outw = fused_step(state, m, frames[0], prev_sbi)
+        outw2 = fused_step(outw.state, m, frames[0], outw.sbi_track)
+    else:
+        ffw = build_step(frames[0])
+        outw = track_step(state, m, ffw, prev_sbi)
+        outw2 = track_step(outw.state, m, ffw, ffw.sbi_track)
     nf = jnp.sum(outw2.result.meas_valid)
     nf.block_until_ready()
     n_found = int(nf)
@@ -127,11 +140,17 @@ def main():
     st = state
     sbi = prev_sbi
     t0 = time.perf_counter()
-    for i in range(iters):
-        ff = build_step(frames[i % len(frames)])
-        out = track_step(st, m, ff, sbi)
-        st = out.state
-        sbi = ff.sbi_track
+    if fused:
+        for i in range(iters):
+            out = fused_step(st, m, frames[i % len(frames)], sbi)
+            st = out.state
+            sbi = out.sbi_track
+    else:
+        for i in range(iters):
+            ff = build_step(frames[i % len(frames)])
+            out = track_step(st, m, ff, sbi)
+            st = out.state
+            sbi = ff.sbi_track
     st.pose.t.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt

@@ -255,12 +255,45 @@ def fast_score_map_banded(im: Array, threshold: float,
 
 def _shi_band_kernel(half_box: int, H: int, band: int,
                      prev_ref, cur_ref, next_ref, out_ref):
-    ext = half_box + 1
+    """Pad-free-rows Shi-Tomasi band: row shifts come from the strip's
+    own halo rows (static slices only); columns keep a lane-dim zero
+    pad. Reusing ``_shi_body`` here dies on this backend's Mosaic — its
+    row-dim ``jnp.pad`` concatenates a zero block with the offset-laid-
+    out strip and hits "result/input offset mismatch on non-concat
+    dimension" (observed round 3, 480x640). The central ``band`` output
+    rows never read row padding anyway, so this form is exactly
+    equivalent where the inner mask is true."""
+    hb = half_box
+    ext = hb + 1
     W = cur_ref.shape[1]
     strip = jnp.concatenate(
         [prev_ref[band - ext:, :], cur_ref[:], next_ref[:ext, :]], axis=0)
-    score = jax.lax.slice(_shi_body(strip, half_box),
-                          (ext, 0), (ext + band, W))
+    S = band + 2 * ext
+
+    pc = jnp.pad(strip, ((0, 0), (1, 1)))           # columns only
+    gx = (jax.lax.slice(pc, (0, 2), (S, 2 + W))
+          - jax.lax.slice(pc, (0, 0), (S, W)))      # im[r, c+1]-im[r, c-1]
+    gy = (jax.lax.slice(strip, (2, 0), (S, W))
+          - jax.lax.slice(strip, (0, 0), (S - 2, W)))  # rows [1, S-1)
+    gxm = jax.lax.slice(gx, (1, 0), (S - 1, W))
+    prods = (gxm * gxm, gy * gy, gxm * gy)
+
+    def box(v):
+        # v rows i correspond to strip rows i+1; output rows R in
+        # [ext, ext+band) read v rows R-1-hb .. R-1+hb, i.e. slices
+        # starting at dy in [0, 2*hb] — always in range.
+        q = jnp.pad(v, ((0, 0), (hb, hb)))          # columns only
+        acc = jnp.zeros((band, W), v.dtype)
+        for dy in range(2 * hb + 1):
+            for dx in range(2 * hb + 1):
+                acc = acc + jax.lax.slice(
+                    q, (dy, dx), (dy + band, dx + W))
+        return acc
+
+    n = float((2 * hb + 1) ** 2) * 2.0
+    dxx, dyy, dxy = (box(v) / n for v in prods)
+    disc = (dxx + dyy) ** 2 - 4.0 * (dxx * dyy - dxy * dxy)
+    score = 0.5 * (dxx + dyy - jnp.sqrt(jnp.maximum(disc, 0.0)))
     row0 = pl.program_id(0) * band
     rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (band, W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (band, W), 1)
