@@ -127,6 +127,7 @@ def main():
     warm = n_frames // 2
     t_warm0 = time.perf_counter()
     times = []
+    events = []   # (i, dt, added_kf, kfs) for spike attribution
     t0 = None
     for i, frame in prefetched():
         t1 = time.perf_counter()
@@ -140,7 +141,9 @@ def main():
             assert info.stage == "TRACKING", info
             t0 = time.perf_counter()
         elif i >= warm:
-            times.append(time.perf_counter() - t1)
+            dt = time.perf_counter() - t1
+            times.append(dt)
+            events.append((i, dt, info.added_kf, info.n_kfs))
     total = time.perf_counter() - t0
     fps = len(times) / total
     times_ms = np.array(times) * 1000
@@ -157,6 +160,9 @@ def main():
           f"p95={np.percentile(times_ms, 95):.2f}ms "
           f"max={times_ms.max():.2f}ms pts={info.n_points} "
           f"kfs={info.n_kfs} quality={info.quality}", file=sys.stderr)
+    for i, dt, akf, kfs in sorted(events, key=lambda e: -e[1])[:8]:
+        print(f"#   spike f{i} {dt*1000:.1f}ms added_kf={akf} kfs={kfs}",
+              file=sys.stderr)
     eng.close()
 
 

@@ -22,6 +22,11 @@ def main():
     ap.add_argument("--size", default="640x480")
     ap.add_argument("--nonplanar", action="store_true",
                     help="add raised blocks (parallax + occlusion)")
+    ap.add_argument("--png", action="store_true",
+                    help="write 8-bit PNGs instead of .npy (needs PIL; "
+                         "NOTE: the native C++ frame pump decodes only "
+                         ".npy/.pgm — PNG datasets require the Python "
+                         "reader, i.e. run_tum.py without --native)")
     ap.add_argument("--hostile", action="store_true",
                     help="photometric hostility: exposure/black-level "
                          "drift, sensor noise, vignette (validation "
@@ -49,8 +54,10 @@ def main():
                                   hostile=args.hostile)
     frames = (seq.frame(i) for i in range(args.frames))
     poses = [seq.pose(i) for i in range(args.frames)]
-    tum.write_synthetic_dataset(args.out, frames, poses=poses, png=True)
-    print(f"wrote {args.frames} PNG frames + groundtruth -> {args.out}")
+    tum.write_synthetic_dataset(args.out, frames, poses=poses,
+                                png=args.png)
+    kind = "PNG" if args.png else ".npy"
+    print(f"wrote {args.frames} {kind} frames + groundtruth -> {args.out}")
 
 
 if __name__ == "__main__":

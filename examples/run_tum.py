@@ -73,7 +73,13 @@ def main():
         n_frames = min(n_frames, args.frames)
 
     # Image size from the first frame.
-    ts0, f0 = next(frame_iter)
+    try:
+        ts0, f0 = next(frame_iter)
+    except StopIteration:
+        sys.exit("no decodable frames in the dataset. With --native the "
+                 "C++ frame pump reads .npy/.pgm only — regenerate with "
+                 "make_synth_tum.py (default .npy) or drop --native for "
+                 "the Python reader (PNG via PIL).")
     size = (f0.shape[1], f0.shape[0])
     eng = engine_lib.SLAMEngine(cfg, image_size=size, max_points=4096,
                                 max_kfs=16, auto_init_frames=8)

@@ -50,7 +50,15 @@ QUALITY_BAD = 0
 QUALITY_DODGY = 1
 QUALITY_GOOD = 2
 
-R_WIN = 16                 # static search window radius (level pixels)
+R_WIN = 16                 # coarse static search window radius (level px)
+# Fine-stage static window: fine radii are <= 10 level-px (config-
+# validated), and the subpix reuse needs one spare pixel of bilinear
+# margin, so 11 suffices. A smaller window shrinks every per-point
+# tensor in the hot path — window gather (N,2R+8,·), integral images,
+# the 64-shift ZMSSD cross term ((2R+1)^2 candidate maps) — the same
+# candidates/results as R_WIN=16, since the radius disc already bounds
+# the examined set (measured round 3: 229.5 -> see BASELINE).
+FINE_R_WIN = 11
 MAX_SSD = 8 * 8 * 500.0    # ref: src/PatchFinder.cc:18-19
 
 
@@ -108,23 +116,29 @@ def validate_config(cfg: TrackerConfig) -> None:
     import math
 
     # Coarse stage runs at levels >= LEVELS-2; worst radius is at the
-    # lowest eligible level with the doubled just-recovered range.
+    # lowest eligible level with the doubled just-recovered range. The
+    # window must exceed the radius by 1 px: the subpix reuse of the
+    # search windows needs a bilinear margin around an at-radius
+    # candidate (ops/patch.py::subpix_refine in_win check).
     worst_coarse = math.ceil(2.0 * cfg.coarse_range / (1 << (LEVELS - 2)))
-    if worst_coarse > R_WIN:
+    if worst_coarse > R_WIN - 1:
         raise ValueError(
             f"TrackerConfig.coarse_range={cfg.coarse_range} needs a "
             f"search radius of {worst_coarse} level-px at level "
             f"{LEVELS - 2} (just-recovered doubling), but the static "
-            f"search window is R_WIN={R_WIN}. Reduce coarse_range to "
-            f"<= {R_WIN * (1 << (LEVELS - 2)) // 2}.")
+            f"search window is R_WIN={R_WIN} (usable radius "
+            f"{R_WIN - 1}). Reduce coarse_range to "
+            f"<= {(R_WIN - 1) * (1 << (LEVELS - 2)) // 2}.")
     # Fine stage runs at any level; worst radius is at level 0.
     worst_fine = math.ceil(max(cfg.fine_range_after_coarse,
                                cfg.fine_range_no_coarse))
-    if worst_fine > R_WIN:
+    if worst_fine > FINE_R_WIN - 1:
         raise ValueError(
-            f"TrackerConfig fine range {worst_fine} exceeds the static "
-            f"search window R_WIN={R_WIN} at level 0. Reduce "
-            f"fine_range_after_coarse/fine_range_no_coarse to <= {R_WIN}.")
+            f"TrackerConfig fine range {worst_fine} exceeds the fine "
+            f"static search window FINE_R_WIN={FINE_R_WIN} (usable "
+            f"radius {FINE_R_WIN - 1}) at level 0. Reduce "
+            f"fine_range_after_coarse/fine_range_no_coarse to "
+            f"<= {FINE_R_WIN - 1}.")
 
 
 def _topk_pad(keys: Array, cap: int) -> Array:
@@ -170,7 +184,8 @@ def _pose_jacobian(p_cam: Array, cam_derivs: Array) -> Array:
 def _search_subset(m: MapState, frame: FrameFeatures, pose: SE3,
                    cam: atan.Camera, image_size, idx: Array, active: Array,
                    range_l0: Array, subpix_its: int,
-                   subpix_level3_only: bool, bf16_cross: bool = False):
+                   subpix_level3_only: bool, bf16_cross: bool = False,
+                   r_win: int = R_WIN):
     """Template warp + windowed ZMSSD + optional subpix for a gathered
     subset of map points (batched Tracker::SearchForPoints,
     ref: src/Tracker.cc:867-912)."""
@@ -203,7 +218,7 @@ def _search_subset(m: MapState, frame: FrameFeatures, pose: SE3,
 
     res, win, win_origin = patchops.ssd_search(
         frame.atlas, frame.corner_mask, templates, centers, radius, bounds,
-        r_win=R_WIN, max_ssd=MAX_SSD, return_windows=True,
+        r_win=r_win, max_ssd=MAX_SSD, return_windows=True,
         bf16_cross=bf16_cross)
     found = attempted & res.found
 
@@ -412,7 +427,8 @@ def track_map(m: MapState, frame: FrameFeatures, pose: SE3,
                           fine_idx, fine_active, fine_range,
                           subpix_its=8,
                           subpix_level3_only=not cfg.subpix_all,
-                          bf16_cross=cfg.zmssd_bf16_cross)
+                          bf16_cross=cfg.zmssd_bf16_cross,
+                          r_win=FINE_R_WIN)
 
     # ---- combined GN over coarse + fine measurements -------------------
     all_idx = jnp.concatenate([coarse_idx, fine_idx])

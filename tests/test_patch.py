@@ -233,3 +233,36 @@ def test_pallas_gather_windows_interpret_parity():
         atlas, (o[0], o[1]), (12, 12)))(origins)
     got = pg.gather_windows_pallas(atlas, origins, 12, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+
+def test_ssd_search_window_size_invariance():
+    """A smaller static window that still covers the radius disc (+1 px
+    subpix margin) returns IDENTICAL results — the basis for the
+    tracker's fine-stage FINE_R_WIN=11 vs coarse R_WIN=16 split: the
+    examined candidate set is radius-bounded, the window is just the
+    gathered superset."""
+    H = W = 128
+    g = rng(7)
+    im = g.uniform(0, 255, (H, W)).astype(np.float32)
+    cmask = g.uniform(size=(H, W)) < 0.15
+    N = 24
+    templates = g.uniform(0, 255, (N, 8, 8)).astype(np.float32)
+    centers = g.uniform(24, 104, (N, 2)).astype(np.float32)
+    radius = g.uniform(3.0, 10.0, N).astype(np.float32)
+    bounds = np.tile(np.array([[0.0, 0.0, float(W), float(H)]],
+                              np.float32), (N, 1))
+    outs = []
+    for r_win in (11, 16):
+        res = patchops.ssd_search(
+            jnp.asarray(im), jnp.asarray(cmask), jnp.asarray(templates),
+            jnp.asarray(centers), jnp.asarray(radius),
+            jnp.asarray(bounds), r_win=r_win, max_ssd=8 * 8 * 500.0)
+        outs.append(res)
+    np.testing.assert_array_equal(np.asarray(outs[0].found),
+                                  np.asarray(outs[1].found))
+    np.testing.assert_array_equal(np.asarray(outs[0].pos),
+                                  np.asarray(outs[1].pos))
+    # SSD values agree to float noise only: the integral-image cumsums
+    # run over different window extents, so the summation order differs.
+    np.testing.assert_allclose(np.asarray(outs[0].ssd),
+                               np.asarray(outs[1].ssd), rtol=1e-4)
