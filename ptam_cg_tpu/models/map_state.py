@@ -23,7 +23,7 @@ from ptam_cg_tpu.config import LEVELS
 from ptam_cg_tpu.models.keyframe import CAND_CAP, NONMAX_CAP, FrameFeatures
 from ptam_cg_tpu.ops import levels as levelops
 from ptam_cg_tpu.utils import se3 as se3lib
-from ptam_cg_tpu.utils.se3 import SE3
+from ptam_cg_tpu.utils.se3 import SE3, _pinned_f32
 
 Array = jax.Array
 
@@ -196,6 +196,7 @@ def insert_keyframe(m: MapState, slot, features: FrameFeatures, pose: SE3,
     )
 
 
+@_pinned_f32
 def make_point_rays(center_level_xy: Array, level, pose: SE3, cam,
                     image_size: Tuple[int, int]):
     """Compute the source-KF unit rays + normal for new points
@@ -227,6 +228,7 @@ def make_point_rays(center_level_xy: Array, level, pose: SE3, cam,
     return center_nc, right_nc, down_nc, normal
 
 
+@_pinned_f32
 def refresh_pixel_vectors(m: MapState) -> MapState:
     """Recompute world pixel-step vectors for every point
     (ref: MapPoint::RefreshPixelVectors, src/Map.cc:40-65), vectorized."""
@@ -251,6 +253,7 @@ def refresh_pixel_vectors(m: MapState) -> MapState:
     return m._replace(point_right_w=right_w, point_down_w=down_w)
 
 
+@_pinned_f32
 def kf_linear_dist(m: MapState, pose: SE3, depth_mean, k) -> Array:
     """Depth-weighted keyframe distance (ref: MapMaker::KeyFrameLinearDist
     src/MapMaker.cc:696-703 — camera-center distance; the caller divides
@@ -260,6 +263,7 @@ def kf_linear_dist(m: MapState, pose: SE3, depth_mean, k) -> Array:
     return jnp.linalg.norm(c1 - c2)
 
 
+@_pinned_f32
 def closest_kf_distances(m: MapState, pose: SE3) -> Array:
     """Distance from ``pose`` to every valid keyframe (inf if invalid)."""
     c = -jnp.swapaxes(pose.R, -1, -2) @ pose.t

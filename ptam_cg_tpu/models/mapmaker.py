@@ -152,7 +152,10 @@ def add_points_epipolar(m: MapState, src_kf, tgt_kf, level: int,
     SB = jnp.sum(I, axis=-1)                                      # (N,)
     ST2 = jnp.sum(T * T, axis=-1)
     SI2 = jnp.sum(I * I, axis=-1)
-    cross = T @ I.T                                               # (C, N) MXU
+    # Explicit DEFAULT precision: uint8-in-spec image dot; stays at
+    # MXU single-pass speed under the job-level pinned-f32 context.
+    cross = jnp.matmul(T, I.T,
+                       precision=jax.lax.Precision.DEFAULT)  # (C, N)
     zmssd = ((2.0 * SA[:, None] * SB[None] - SA[:, None] ** 2
               - SB[None] ** 2) / 64.0
              + SI2[None] + ST2[:, None] - 2.0 * cross)
@@ -754,24 +757,36 @@ class MapMaker:
         # per MapMaker; config scalars are baked in as compile-time
         # constants.
         wiggle, thin = cfg.wiggle_scale, cfg.thin_candidates_radius
-        self._jit_integrate = jax.jit(
+
+        def pinned(fn):
+            # Every mapping job runs its geometry (triangulation,
+            # epipolar rays, pose products, plane fit) at pinned-f32
+            # matmul precision — the round-3 TPU drift fix (see
+            # utils/se3._pinned_f32). Image-value ZMSSD dots inside opt
+            # back into the fast default explicitly.
+            def wrapped(*a, **k):
+                with jax.default_matmul_precision("float32"):
+                    return fn(*a, **k)
+            return jax.jit(wrapped)
+
+        self._jit_integrate = pinned(
             lambda m_, feat, pose, mpt, mpos, mlvl, msub, mval, dm, ds,
             npm: integrate_keyframe_program(
                 m_, feat, pose, mpt, mpos, mlvl, msub, mval, dm, ds,
                 npm, cam, image_size, wiggle, thin))
-        self._jit_refind_all = jax.jit(
+        self._jit_refind_all = pinned(
             lambda m_, mask2d: refind_all_kfs(m_, mask2d, cam, image_size))
         self._jit_epipolar = {
-            lev: jax.jit(lambda m_, src, npm, lev=lev: epipolar_job(
+            lev: pinned(lambda m_, src, npm, lev=lev: epipolar_job(
                 m_, src, npm, lev, cam, image_size, wiggle, thin))
             for lev in range(LEVELS)}
-        self._jit_local_masks = jax.jit(local_ba_masks)
+        self._jit_local_masks = pinned(local_ba_masks)
         #: Compact extraction: static (max_cams, max_pts, max_meas) caps
         #: — one compiled variant per tier, cached by jit's shape/static
         #: specialization.
         self._jit_extract = jax.jit(extract_bundle_compact,
                                     static_argnums=(4, 5, 6))
-        self._jit_apply = jax.jit(apply_bundle_job)
+        self._jit_apply = pinned(apply_bundle_job)
         # --- BA size tiers (power-of-two caps; see extract_bundle_compact
         # and _ba_caps). Floors only ratchet UP (overflow escalation).
         self._tier_c_floor = 4
@@ -784,8 +799,8 @@ class MapMaker:
         #: True measurement count observed at the last BA extract
         #: (deferred read) — sizes the next run's measurement cap.
         self._last_n_sel = 0
-        self._jit_gc = jax.jit(lambda m_: handle_bad_points(m_, cfg))
-        self._jit_plane_align = jax.jit(
+        self._jit_gc = pinned(lambda m_: handle_bad_points(m_, cfg))
+        self._jit_plane_align = pinned(
             lambda m_, key: apply_global_transform(
                 m_, plane_aligner(m_, key, cfg.plane_aligner_ransacs)))
         #: Host-side keyframe count — avoids a device sync per frame in

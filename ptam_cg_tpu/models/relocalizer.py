@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ptam_cg_tpu.models.map_state import MapState
 from ptam_cg_tpu.ops import sbi as sbiops
 from ptam_cg_tpu.utils import se3 as se3lib
-from ptam_cg_tpu.utils.se3 import SE3
+from ptam_cg_tpu.utils.se3 import SE3, _pinned_f32
 
 Array = jax.Array
 
@@ -31,6 +31,7 @@ class RelocResult(NamedTuple):
     success: Array   # () bool
 
 
+@_pinned_f32
 def attempt_recovery(m: MapState, cur_sbi: sbiops.SBI, cam_params: Array,
                      sbi_size: Tuple[int, int],
                      max_score: float = 9e6,

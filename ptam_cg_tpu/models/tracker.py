@@ -331,7 +331,24 @@ def track_map(m: MapState, frame: FrameFeatures, pose: SE3,
 
     ``point_filter``: optional (P,) mask restricting the PVS — pass
     ``local_point_mask(...)`` for TrackMapLocal behavior.
+
+    The whole program runs under pinned-f32 matmul precision: the PVS
+    projection / warp-matrix stage feeds the pose chain whose bf16
+    drift round 3 measured as runaway scale (see se3._pinned_f32). The
+    image-value hot dots inside (window row-takes, one-hot template
+    interpolation) opt back into the fast default with an explicit
+    ``precision=`` at their call sites — explicit beats implicit.
     """
+    with jax.default_matmul_precision("float32"):
+        return _track_map_impl(m, frame, pose, cam, image_size, key,
+                               msd_vel, just_recovered, cfg, point_filter)
+
+
+def _track_map_impl(m: MapState, frame: FrameFeatures, pose: SE3,
+                    cam: atan.Camera, image_size, key: Array,
+                    msd_vel: Array, just_recovered: Array,
+                    cfg: TrackerConfig = TrackerConfig(),
+                    point_filter: Array | None = None) -> TrackResult:
     W, H = image_size
     P = m.point_pos.shape[0]
     k_coarse, k_fine = jax.random.split(key)
@@ -500,7 +517,23 @@ def track_frame(state: TrackerState, m: MapState, frame: FrameFeatures,
     The per-frame PRNG key is carried in ``state.key`` and advanced here
     (host-side ``PRNGKey``/``split`` calls are extra device programs —
     costly per-frame dispatches on a networked backend). Passing ``key``
-    explicitly overrides the state key for this frame (tests)."""
+    explicitly overrides the state key for this frame (tests).
+
+    Pinned-f32 matmuls throughout (motion model, SBI seed conversion,
+    quality KF distances; see track_map docstring)."""
+    with jax.default_matmul_precision("float32"):
+        return _track_frame_impl(state, m, frame, prev_sbi, cam,
+                                 image_size, cam_params, key, cfg,
+                                 wiggle_scale, point_filter)
+
+
+def _track_frame_impl(state: TrackerState, m: MapState,
+                      frame: FrameFeatures, prev_sbi: sbiops.SBI,
+                      cam: atan.Camera, image_size,
+                      cam_params: Array, key: Array | None = None,
+                      cfg: TrackerConfig = TrackerConfig(),
+                      wiggle_scale: float = 0.1,
+                      point_filter: Array | None = None) -> FrameOutput:
     W, H = image_size
     k_next, k_frame = jax.random.split(state.key)
     if key is not None:

@@ -175,9 +175,13 @@ def gather_windows_rowtake(atlas: Array, origin_yx: Array, D: int) -> Array:
     # A bfloat16 atlas (FrontendConfig.atlas_bf16) halves the row-take
     # HBM traffic and runs this dot at bf16 MXU rate; accumulation and
     # output are always float32 so downstream ZMSSD/subpix math keeps
-    # full precision.
+    # full precision. Explicit DEFAULT precision: image values are
+    # uint8-in-spec (exact in bf16) and the selector is one-hot (exact),
+    # so the fast single-pass dot is exact — and must stay fast under
+    # the callers' pinned-f32 contexts (tracker/mapmaker programs).
     return jnp.einsum("ndc,ncj->ndj", rows, csel.astype(atlas.dtype),
-                      preferred_element_type=jnp.float32
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT
                       ).astype(jnp.float32)
 
 

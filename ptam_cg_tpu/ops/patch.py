@@ -212,8 +212,13 @@ def make_warped_templates(kf_atlases: Array, kf_idx: Array,
     ii = jnp.arange(S, dtype=jnp.int32)
     wy = ((ii == y0c[..., None]).astype(win.dtype) * (1 - fy)[..., None]
           + (ii == y0c[..., None] + 1).astype(win.dtype) * fy[..., None])
+    # Explicit DEFAULT precision: uint8-in-spec image values x two-hot
+    # bilinear weights — the ~0.4% weight rounding is inside ZMSSD
+    # margins, and this dot must keep MXU speed under the tracker's
+    # pinned-f32 program.
     t1 = jnp.einsum("nps,nsc->npc", wy, win,
-                    preferred_element_type=jnp.float32)  # (N, P*P, S)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)  # (N, P*P, S)
     wx = ((ii == x0c[..., None]).astype(win.dtype) * (1 - fx)[..., None]
           + (ii == x0c[..., None] + 1).astype(win.dtype) * fx[..., None])
     vals = jnp.sum(wx * t1, axis=-1)                 # (N, P*P)

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ptam_cg_tpu.utils import se3 as se3lib
-from ptam_cg_tpu.utils.se3 import SE3
+from ptam_cg_tpu.utils.se3 import SE3, _pinned_f32
 
 Array = jax.Array
 
@@ -30,6 +30,7 @@ def _smallest_right_singular(A: Array) -> Array:
     return vecs[..., :, 0]
 
 
+@_pinned_f32
 def triangulate(se3_a_from_b: SE3, v2a: Array, v2b: Array) -> Array:
     """DLT triangulation in frame B from two z=1-plane observations.
 
@@ -62,6 +63,7 @@ def _cross_matrix(v3: Array) -> Array:
         jnp.stack([-y, x, zero], axis=-1)], axis=-2)
 
 
+@_pinned_f32
 def triangulate_new(se3_a_from_b: SE3, v2a: Array, v2b: Array) -> Array:
     """Cross-product-matrix DLT triangulation — the reference's
     alternative triangulator (ref: MapMaker::TriangulateNew,
@@ -84,6 +86,7 @@ def triangulate_new(se3_a_from_b: SE3, v2a: Array, v2b: Array) -> Array:
     return v4[..., :3] / w[..., None]
 
 
+@_pinned_f32
 def triangulate_depths(se3_a_from_b: SE3, v2a: Array, v2b: Array):
     """Triangulate + return (point_in_B, depth_in_A, depth_in_B)."""
     p_b = triangulate(se3_a_from_b, v2a, v2b)
@@ -91,6 +94,7 @@ def triangulate_depths(se3_a_from_b: SE3, v2a: Array, v2b: Array):
     return p_b, p_a[..., 2], p_b[..., 2]
 
 
+@_pinned_f32
 def umeyama_icp(src: Array, dst: Array, mask: Array | None = None) -> SE3:
     """Rigid alignment dst ≈ R @ src + t via SVD of the cross-covariance.
 
@@ -116,6 +120,7 @@ def umeyama_icp(src: Array, dst: Array, mask: Array | None = None) -> SE3:
     return SE3(R, t)
 
 
+@_pinned_f32
 def horn_icp(src: Array, dst: Array, mask: Array | None = None) -> SE3:
     """Rigid alignment dst ≈ R @ src + t via Horn's quaternion method.
 
@@ -153,6 +158,7 @@ def horn_icp(src: Array, dst: Array, mask: Array | None = None) -> SE3:
     return SE3(R, t)
 
 
+@_pinned_f32
 def sampson_error(essential: Array, v2a: Array, v2b: Array) -> Array:
     """First-order geometric (Sampson) error for an essential matrix.
 

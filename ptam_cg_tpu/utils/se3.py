@@ -18,6 +18,7 @@ Everything broadcasts over leading batch dims and is vmap/jit-safe.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -26,6 +27,27 @@ import jax.numpy as jnp
 Array = jax.Array
 
 _EPS = 1e-8
+
+
+def _pinned_f32(fn):
+    """Run every matmul in ``fn`` at pinned float32 precision.
+
+    TPU's default single-bf16-pass matmul is catastrophic for POSE
+    COMPOSITION: the per-frame chain R' = exp(upd) @ R (20+ GN/motion
+    compositions per frame, no re-orthonormalization) compounds the
+    ~0.4% bf16 rounding multiplicatively. Measured round 3 (bench_large
+    scenario, TPU): after ~80 frames the keyframe rotations had drifted
+    to |R_ij| = 1.007 (scale creep off SO(3)), the map inflated (point
+    |x| max 5.6 on a ~2-unit scene), and tracking collapsed 430 found ->
+    0 — while the identical run on CPU (full f32) held ~490 found. BA
+    was NOT the cause (reproduced with BA disabled); the round-2 pins
+    covered the solvers but not this state-composition chain. Pinning
+    here makes drift structurally impossible regardless of caller."""
+    @functools.wraps(fn)
+    def wrapper(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+    return wrapper
 
 
 class SE3(NamedTuple):
@@ -83,6 +105,7 @@ def _sinc_coeffs(theta_sq: Array):
     return A, B, C
 
 
+@_pinned_f32
 def so3_exp(w: Array) -> Array:
     """Rodrigues: exp of a rotation 3-vector -> (...,3,3) rotation matrix."""
     w = jnp.asarray(w, jnp.float32)
@@ -156,6 +179,7 @@ def so3_log(R: Array) -> Array:
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 
+@_pinned_f32
 def se3_exp(xi: Array) -> SE3:
     """TooN-ordered twist [u(3), w(3)] -> SE3. t = V(w) @ u."""
     xi = jnp.asarray(xi, jnp.float32)
@@ -171,6 +195,7 @@ def se3_exp(xi: Array) -> SE3:
     return SE3(R, t)
 
 
+@_pinned_f32
 def se3_log(T: SE3) -> Array:
     """SE3 -> TooN-ordered twist [u, w]."""
     w = so3_log(T.R)
@@ -197,6 +222,7 @@ def se3_log(T: SE3) -> Array:
     return jnp.concatenate([u, w], axis=-1)
 
 
+@_pinned_f32
 def mul(a: SE3, b: SE3) -> SE3:
     """Compose: (a*b)(x) = a(b(x))."""
     R = a.R @ b.R
@@ -204,11 +230,13 @@ def mul(a: SE3, b: SE3) -> SE3:
     return SE3(R, t)
 
 
+@_pinned_f32
 def inv(T: SE3) -> SE3:
     Rt = jnp.swapaxes(T.R, -1, -2)
     return SE3(Rt, -jnp.einsum("...ij,...j->...i", Rt, T.t))
 
 
+@_pinned_f32
 def apply(T: SE3, x: Array) -> Array:
     """Transform points x (..., 3)."""
     return jnp.einsum("...ij,...j->...i", T.R, x) + T.t
