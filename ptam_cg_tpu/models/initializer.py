@@ -212,9 +212,25 @@ def init_from_stereo(mapmaker: MapMaker, first: FrameFeatures,
     if int(m.n_points()) < 4:
         return None
 
+    def ba_failed() -> bool:
+        """BA numerical failure inside init = the stereo pair was too
+        ill-conditioned (e.g. an under-baselined auto-init pair: the LM
+        outlier pruning death-spirals to an empty problem and a singular
+        Schur system). The reference's InitFromStereo returns false when
+        its init-time BA fails (ref: src/MapMaker.cc:374-405) so the
+        tracker restarts trail-tracking — fail HERE instead of letting
+        the engine enter TRACKING for one frame and then ditch the map
+        via the reset handshake."""
+        if mapmaker.reset_requested:
+            mapmaker.reset_requested = False
+            return True
+        return False
+
     # 5x global BA (ref: :372-373); unbudgeted — init is one-time.
     for _ in range(5):
         mapmaker.bundle_adjust_all(full=True)
+        if ba_failed():
+            return None
 
     # Scene depth stats + wiggle normalization (ref: :376-380).
     d0, s0 = ms.scene_depth_for_kf(mapmaker.map, 0)
@@ -236,6 +252,8 @@ def init_from_stereo(mapmaker: MapMaker, first: FrameFeatures,
         if mapmaker.converged_full:
             break
         mapmaker.bundle_adjust_all(full=True)
+        if ba_failed():
+            return None
 
     # Plane alignment (ref: :396-397) — one jitted dispatch.
     mapmaker.map = mapmaker._jit_plane_align(mapmaker.map,
