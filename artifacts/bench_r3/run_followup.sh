@@ -20,3 +20,5 @@ step ate_hostile2 4800 python examples/run_tum.py /tmp/tum_hostile \
   --native --tpu --map "$D/hostile_map.ppm"
 step bench_engine2 4800 python bench_engine.py
 echo "=== FOLLOWUP COMPLETE $(date +%T) ===" | tee -a "$D/battery.log"
+step bench_large2 7200 python bench_large.py
+echo "=== FOLLOWUP2 COMPLETE $(date +%T) ===" | tee -a "$D/battery.log"

@@ -255,39 +255,50 @@ def fast_score_map_banded(im: Array, threshold: float,
 
 def _shi_band_kernel(half_box: int, H: int, band: int,
                      prev_ref, cur_ref, next_ref, out_ref):
-    """Pad-free-rows Shi-Tomasi band: row shifts come from the strip's
-    own halo rows (static slices only); columns keep a lane-dim zero
-    pad. Reusing ``_shi_body`` here dies on this backend's Mosaic — its
-    row-dim ``jnp.pad`` concatenates a zero block with the offset-laid-
-    out strip and hits "result/input offset mismatch on non-concat
-    dimension" (observed round 3, 480x640). The central ``band`` output
-    rows never read row padding anyway, so this form is exactly
-    equivalent where the inner mask is true."""
+    """Single-pad Shi-Tomasi band. This backend's Mosaic rejects ANY
+    ``tpu.concatenate`` whose non-zero-pad operand carries a non-zero
+    offset layout ("result/input offset mismatch on non-concat
+    dimension") — which kills every ``jnp.pad`` of a sliced/derived
+    value. So: concatenate the three FULL bands (all offsets zero), pad
+    that ONCE (zero-offset operands — the pattern the FAST band kernel
+    already compiles), and from there use only static slices +
+    elementwise ops. The current band's outputs read real halo rows
+    (never row padding) and zero-padded columns, exactly matching the
+    whole-image ``_shi_body`` semantics wherever the inner mask is
+    true."""
     hb = half_box
     ext = hb + 1
     W = cur_ref.shape[1]
-    strip = jnp.concatenate(
-        [prev_ref[band - ext:, :], cur_ref[:], next_ref[:ext, :]], axis=0)
-    S = band + 2 * ext
+    strip3 = jnp.concatenate([prev_ref[:], cur_ref[:], next_ref[:]],
+                             axis=0)                 # (3*band, W)
+    p3 = jnp.pad(strip3, ((ext, ext), (ext, ext)))
 
-    pc = jnp.pad(strip, ((0, 0), (1, 1)))           # columns only
-    gx = (jax.lax.slice(pc, (0, 2), (S, 2 + W))
-          - jax.lax.slice(pc, (0, 0), (S, W)))      # im[r, c+1]-im[r, c-1]
-    gy = (jax.lax.slice(strip, (2, 0), (S, W))
-          - jax.lax.slice(strip, (0, 0), (S - 2, W)))  # rows [1, S-1)
-    gxm = jax.lax.slice(gx, (1, 0), (S - 1, W))
-    prods = (gxm * gxm, gy * gy, gxm * gy)
+    # View of p3 sized (band + 2*hb, W + 2*hb): output row r, col c map
+    # to view position (r + hb, c + hb); view (i, j) = image value at
+    # row band0 + i - hb, col j - hb (zero outside columns).
+    def sh(dy, dx):
+        # (band + 2*hb, W + 2*hb) view shifted by (dy, dx), dy/dx in
+        # [-1, 1] here (gradient taps); row start >= band + ext - hb - 1
+        # - 1 >= 0 for band >= 0; always in range.
+        r0 = ext + band - hb + dy
+        c0 = ext - hb + dx
+        return jax.lax.slice(
+            p3, (r0, c0), (r0 + band + 2 * hb, c0 + W + 2 * hb))
+
+    gxe = sh(0, 1) - sh(0, -1)
+    gye = sh(1, 0) - sh(-1, 0)
+    prods = (gxe * gxe, gye * gye, gxe * gye)
 
     def box(v):
-        # v rows i correspond to strip rows i+1; output rows R in
-        # [ext, ext+band) read v rows R-1-hb .. R-1+hb, i.e. slices
-        # starting at dy in [0, 2*hb] — always in range.
-        q = jnp.pad(v, ((0, 0), (hb, hb)))          # columns only
-        acc = jnp.zeros((band, W), v.dtype)
+        # Separable: row-sum then col-sum — 14 slice temporaries instead
+        # of 49 (the 2-D loop's 49x3 live slice copies blew the 16 MB
+        # Mosaic VMEM stack at 480x640).
+        rs = jnp.zeros((band, W + 2 * hb), v.dtype)
         for dy in range(2 * hb + 1):
-            for dx in range(2 * hb + 1):
-                acc = acc + jax.lax.slice(
-                    q, (dy, dx), (dy + band, dx + W))
+            rs = rs + jax.lax.slice(v, (dy, 0), (dy + band, W + 2 * hb))
+        acc = jnp.zeros((band, W), v.dtype)
+        for dx in range(2 * hb + 1):
+            acc = acc + jax.lax.slice(rs, (0, dx), (band, dx + W))
         return acc
 
     n = float((2 * hb + 1) ** 2) * 2.0
@@ -309,7 +320,9 @@ def shi_tomasi_banded(im: Array, half_box: int = 3,
     (ref: src/ImageProcess.cc:20-47)."""
     im = im.astype(jnp.float32)
     H, W = im.shape
-    band = _pick_band(H)
+    # Smaller bands than FAST: this kernel holds 5 gradient/product
+    # planes plus the 3-band strip in VMEM per grid step.
+    band = _pick_band(H, target=32)
     return pl.pallas_call(
         functools.partial(_shi_band_kernel, half_box, H, band),
         grid=(H // band,),
