@@ -129,22 +129,24 @@ class SLAMEngine:
         #: the networked backend).
         self._wiggle_val = None
         self._wiggle_dev = None
-        # Per-frame TRACKING-stage program: track + inlier/outlier
-        # accounting + every per-frame decision scalar in ONE dispatch
-        # (plus the separate frontend build — the split two-program
-        # pipeline compiles faster code than a fused one on this
-        # backend, see bench.py). The decision scalars are read back
+        # Per-frame TRACKING-stage program: frontend build + track +
+        # inlier/outlier accounting + every per-frame decision scalar in
+        # ONE dispatch. Round 1 measured the split two-program pipeline
+        # faster; after the round-2/3 gather rewrites and the smaller
+        # fine search window the FUSED program wins (bench.py --fused:
+        # 280.0 vs 274.5 FPS round 3) and halves per-frame dispatches on
+        # the networked backend. The decision scalars are read back
         # DEFERRED, one tiny int-vector per frame (VERDICT r1 #3: the
         # round-1 engine did ~6 blocking host syncs per frame, stalling
         # the dispatch pipeline the bench avoided).
         wig_mult = cfg.mapmaker.max_kf_dist_wiggle_mult
 
-        def _track_and_decide(st, m, features, prev_sbi_track,
+        def _track_and_decide(st, m, im, prev_sbi_track,
                               wiggle_depth_norm):
-            fo = trklib.track_frame(
-                st, m, features, prev_sbi_track, self.cam,
-                self.image_size, self.cam_params, None, cfg.tracker,
-                cfg.mapmaker.wiggle_scale)
+            fo = trklib.track_frame_from_image(
+                st, m, im.astype(jnp.float32), prev_sbi_track, self.cam,
+                self.image_size, self.cam_params, cfg.tracker,
+                cfg.frontend, cfg.mapmaker.wiggle_scale)
             res = fo.result
             new_inl = m.point_inlier + res.inlier_delta
             new_outl = m.point_outlier + res.outlier_delta
@@ -351,8 +353,6 @@ class SLAMEngine:
                     n_kfs=0,
                     added_kf=False, relocalized=False)
             st = self.tracker_state
-            # Frontend build for this frame (dispatch 1, no sync).
-            features = self._build_track(im)
 
             # ---- deferred decisions for the LATEST pending frame -------
             # Every blocking device read costs ~20 ms on a networked
@@ -374,8 +374,11 @@ class SLAMEngine:
                 self.mapmaker._n_points_hint = self._n_points_host
 
                 # Relocalize if lost (ref: src/Tracker.cc:168-207).
+                # The SBI is the PENDING frame's (the one whose quality
+                # said lost) — the fused build means this frame's SBI
+                # does not exist yet at decision time.
                 if lost > self.cfg.tracker.max_lost_frames:
-                    rr = self._reloc(self.map, features.sbi)
+                    rr = self._reloc(self.map, p["out"].sbi)
                     if bool(rr.success):
                         st = st._replace(
                             pose=SE3(rr.pose.R, rr.pose.t),
@@ -412,15 +415,15 @@ class SLAMEngine:
                     self.frames_since_kf = 0
                     added_kf = True
 
-            # ---- dispatch THIS frame (dispatch 2, no sync) -------------
+            # ---- dispatch THIS frame (build+track fused, no sync) ------
             if self._wiggle_val != self.mapmaker.wiggle_depth_norm:
                 self._wiggle_val = self.mapmaker.wiggle_depth_norm
                 self._wiggle_dev = jnp.float32(self._wiggle_val)
             fo, new_inl, new_outl, info = self._step_track(
-                st, self.map, features, self._prev_sbi_track,
+                st, self.map, im, self._prev_sbi_track,
                 self._wiggle_dev)
             self.tracker_state = fo.state
-            self._prev_sbi_track = features.sbi_track
+            self._prev_sbi_track = fo.sbi_track
 
             # Tracker -> map point inlier/outlier accounting.
             if self.async_mapping:
