@@ -29,7 +29,10 @@ def main():
 
     bf16 = "--bf16" in sys.argv
     bf16_cross = "--bf16-cross" in sys.argv
-    fused = "--fused" in sys.argv
+    # The FUSED build+track program is the engine's actual TRACKING-stage
+    # dispatch since round 3 (and measures faster: 280.0 vs 274.5 FPS);
+    # --split keeps the round-1/2 two-program pipeline measurable.
+    fused = "--split" not in sys.argv
     size = (640, 480)
     params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
     seq = synth.SyntheticSequence(params, image_size=size, n_frames=8,
@@ -95,21 +98,19 @@ def main():
         cfg = cfg.replace(tracker=TrackerConfig(zmssd_bf16_cross=True))
     cam_params = jnp.asarray(params, jnp.float32)
 
-    # Two jitted programs per frame (frontend build + track), with the
-    # map as a device-resident ARGUMENT. One fused program or captured
-    # multi-MB closure constants both compile to markedly slower code on
-    # this backend.
-    # Tracking frames use the lite build (keyframe-only stages skipped,
-    # matching the reference's per-frame MakeKeyFrame_Lite).
+    # The map rides as a device-resident ARGUMENT in both variants
+    # (captured multi-MB closure constants slow calls ~3x on this
+    # backend). Tracking frames use the lite build (keyframe-only stages
+    # skipped, matching the reference's per-frame MakeKeyFrame_Lite).
     build_step = jax.jit(
         lambda im: keyframe.build_frame_tracking(im, cfg.frontend))
     track_step = jax.jit(
         lambda s, m_, ff, ps: tracker.track_frame(
             s, m_, ff, ps, cam, size, cam_params, None, cfg.tracker))
-    # --fused: ONE dispatch per frame (build + track in one program).
-    # Round-1 measured the fused program markedly slower; kept as a
-    # re-measurable experiment since the gather rewrites changed the
-    # per-program cost balance.
+    # ONE dispatch per frame (build + track in one program) — the
+    # engine's production TRACKING-stage program. Round-1 measured the
+    # fused program slower; the gather rewrites + smaller fine window
+    # inverted that (round 3).
     fused_step = jax.jit(
         lambda s, m_, im, ps: tracker.track_frame_from_image(
             s, m_, im, ps, cam, size, cam_params, cfg.tracker,
