@@ -31,8 +31,12 @@ def main():
     bf16_cross = "--bf16-cross" in sys.argv
     # The FUSED build+track program is the engine's actual TRACKING-stage
     # dispatch since round 3 (and measures faster: 280.0 vs 274.5 FPS);
-    # --split keeps the round-1/2 two-program pipeline measurable.
+    # fused is the DEFAULT — "--fused" is accepted as an explicit no-op
+    # alias (ADVICE r3), "--split" measures the round-1/2 two-program
+    # pipeline instead.
     fused = "--split" not in sys.argv
+    if "--fused" in sys.argv and "--split" in sys.argv:
+        raise SystemExit("pass at most one of --fused / --split")
     size = (640, 480)
     params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
     seq = synth.SyntheticSequence(params, image_size=size, n_frames=8,

@@ -87,6 +87,7 @@ class SLAMEngine:
         capacity)."""
         self.cfg = cfg
         self.mesh = mesh
+        self._seed = seed
         trklib.validate_config(cfg.tracker)
         self.image_size = image_size or cfg.camera.image_size
         self.cam = atan.make_camera(cfg.camera.params, self.image_size)
@@ -133,9 +134,9 @@ class SLAMEngine:
         # inlier/outlier accounting + every per-frame decision scalar in
         # ONE dispatch. Round 1 measured the split two-program pipeline
         # faster; after the round-2/3 gather rewrites and the smaller
-        # fine search window the FUSED program wins (bench.py --fused:
-        # 280.0 vs 274.5 FPS round 3) and halves per-frame dispatches on
-        # the networked backend. The decision scalars are read back
+        # fine search window the FUSED program wins (bench.py default is
+        # fused — 280.0 FPS round 3 vs 274.5 with --split) and halves
+        # per-frame dispatches on the networked backend. The decision scalars are read back
         # DEFERRED, one tiny int-vector per frame (VERDICT r1 #3: the
         # round-1 engine did ~6 blocking host syncs per frame, stalling
         # the dispatch pipeline the bench avoided).
@@ -255,7 +256,7 @@ class SLAMEngine:
         self.map = ms.empty_map(self.image_size, P, K, self._atlas_dtype)
         self.mapmaker = mmlib.MapMaker(
             self.map, self.cam, self.image_size, self.cfg.mapmaker,
-            self.cfg.bundle, mesh=self.mesh)
+            self.cfg.bundle, seed=self._seed, mesh=self.mesh)
         self.stage = Stage.NOT_STARTED
         self.tracker_state = trklib.init_tracker_state(
             key=self._next_key())

@@ -55,9 +55,16 @@ R_WIN = 16                 # coarse static search window radius (level px)
 # validated), and the subpix reuse needs one spare pixel of bilinear
 # margin, so 11 suffices. A smaller window shrinks every per-point
 # tensor in the hot path — window gather (N,2R+8,·), integral images,
-# the 64-shift ZMSSD cross term ((2R+1)^2 candidate maps) — the same
-# candidates/results as R_WIN=16, since the radius disc already bounds
-# the examined set (measured round 3: 229.5 -> see BASELINE).
+# the 64-shift ZMSSD cross term ((2R+1)^2 candidate maps) — and the
+# examined CANDIDATE set is identical to R_WIN=16 (radius-bounded;
+# tests/test_patch.py::test_ssd_search_window_size_invariance). One
+# behavioral difference remains (ADVICE r3): the reused window also
+# bounds subpix excursion, so an at-radius match (offset 10) has ~1 px
+# of in-window travel at r_win=11 vs ~5 px at 16 before subpix drops
+# the measurement. The reference declares subpix "should never travel
+# more than a pixel" (src/PatchFinder.cc:249-252), so 1 px of margin is
+# in-spec; test_subpix_window_reuse_near_radius covers it.
+# (Measured round 3: 229.5 -> 274.5 FPS; see BASELINE.)
 FINE_R_WIN = 11
 MAX_SSD = 8 * 8 * 500.0    # ref: src/PatchFinder.cc:18-19
 

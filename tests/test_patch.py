@@ -266,3 +266,86 @@ def test_ssd_search_window_size_invariance():
     # run over different window extents, so the summation order differs.
     np.testing.assert_allclose(np.asarray(outs[0].ssd),
                                np.asarray(outs[1].ssd), rtol=1e-4)
+
+
+def test_subpix_window_reuse_near_radius():
+    """Subpix-reuse behavior for matches AT the search radius (ADVICE r3):
+    the reused search window bounds subpix excursion, so the margin at an
+    at-radius candidate is ~1 px for r_win=11 vs ~5 px for r_win=16. The
+    reference's own subpix contract is <= 1 px of travel
+    (src/PatchFinder.cc:249-252), so for in-spec matches (true position
+    within ~0.5 px of the found candidate) the small window must converge
+    to the same answer as the big one; for deliberately out-of-spec
+    matches the small window must DROP the point (converged=False), never
+    return an out-of-window position."""
+    H = W = 160
+    g = rng(21)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+
+    def render(dx, dy):
+        return (np.sin((xx - dx) * 0.61) * np.cos((yy - dy) * 0.47)
+                * 90.0 + 128.0).astype(np.float32)
+
+    radius = 10.0
+    # True features sit at EXACTLY the search radius from the predicted
+    # centers, plus a subpixel offset: 0.4 px (in-spec) / 2.5 px (out-of-
+    # spec travel for the r_win=11 window, fine for 16).
+    centers = np.array([[60.0, 60.0], [100.0, 60.0],
+                        [60.0, 100.0], [100.0, 100.0]], np.float32)
+    sub = np.array([0.4, 0.4, 2.5, 2.5], np.float32)
+    dirs = np.array([[1.0, 0.0], [0.0, 1.0],
+                     [1.0, 0.0], [0.0, 1.0]], np.float32)
+    # Integer candidate exactly AT the radius edge (inside the disc);
+    # the true feature lies `sub` px beyond it, so subpix must travel
+    # outward by `sub` from the found candidate.
+    cand_pos = centers + dirs * radius
+    true_pos = cand_pos + dirs * sub[:, None]
+    N = centers.shape[0]
+    img = render(0.0, 0.0)
+    templates = np.stack([
+        # Template = image patch at the true (subpixel) position, sampled
+        # by re-rendering the analytic image shifted so the patch grid
+        # lands on the candidate's integer grid.
+        # render(-d) shifts content so template pixel x matches img at
+        # x + d: the true match sits OUTWARD of the candidate.
+        render(cand_pos[i, 0] - true_pos[i, 0],
+               cand_pos[i, 1] - true_pos[i, 1])
+        [int(cand_pos[i, 1]) - 4:int(cand_pos[i, 1]) + 4,
+         int(cand_pos[i, 0]) - 4:int(cand_pos[i, 0]) + 4]
+        for i in range(N)])
+    cmask = np.zeros((H, W), bool)
+    for i in range(N):
+        cmask[int(cand_pos[i, 1]), int(cand_pos[i, 0])] = True
+    bounds = np.tile(np.array([[0.0, 0.0, float(W), float(H)]],
+                              np.float32), (N, 1))
+    out = {}
+    for r_win in (11, 16):
+        # max_ssd is disabled: a 2.5-px-off template would fail the
+        # ZMSSD gate on this high-contrast image, but the subject under
+        # test is the subpix window margin, not the gate.
+        res, win, origin = patchops.ssd_search(
+            jnp.asarray(img), jnp.asarray(cmask), jnp.asarray(templates),
+            jnp.asarray(centers), jnp.full((N,), radius, jnp.float32),
+            jnp.asarray(bounds), r_win=r_win, max_ssd=1e9,
+            return_windows=True)
+        assert bool(np.all(np.asarray(res.found))), r_win
+        ref = patchops.subpix_refine(
+            jnp.asarray(img), jnp.asarray(templates), res.pos,
+            jnp.asarray(bounds), max_its=8, windows=win, win_origin=origin)
+        out[r_win] = (np.asarray(res.pos), np.asarray(ref.pos),
+                      np.asarray(ref.converged))
+    # In-spec points (0.4 px subpixel travel): both windows converge and
+    # agree with the true position.
+    for r_win in (11, 16):
+        _, pos, conv = out[r_win]
+        assert conv[0] and conv[1], (r_win, conv)
+        np.testing.assert_allclose(pos[:2], true_pos[:2], atol=0.2,
+                                   err_msg=str(r_win))
+    # Out-of-spec points (2.5 px travel needed): the r_win=16 window has
+    # margin and may converge; the r_win=11 window must either converge
+    # to the true position or report converged=False — silent wrong
+    # output is the only failure mode this guards against.
+    _, pos11, conv11 = out[11]
+    for i in (2, 3):
+        if conv11[i]:
+            np.testing.assert_allclose(pos11[i], true_pos[i], atol=0.3)
