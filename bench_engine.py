@@ -9,9 +9,13 @@ The engine pipeline defers its per-frame decision read by one frame, so
 steady-state cost per frame = 2 async dispatches + one small int-vector
 read; mapping jobs add periodic spikes (KF integration, BA steps).
 
-Prints ONE JSON line: steady-state engine FPS (total frames / total time
-over the measured window, spikes included), with mean/median/p95 frame
-times on stderr.
+Prints ONE JSON line with stall-annotated stats (median/p95/ex-stall
+mean — a single 20-60 s backend hang wrecked two round-3 bench means,
+see bench_common.py) plus spike attribution on stderr.
+
+``run_engine_bench()`` is importable: bench.py (the driver's artifact)
+embeds the engine-level numbers alongside the raw tracking loop
+(VERDICT r3 #4).
 
 Scenario matches bench.py: 640x480 synthetic sequence; map grows to a
 few thousand points across up to 16 keyframes.
@@ -23,10 +27,13 @@ import time
 
 import numpy as np
 
+from bench_common import fmt_stats, frame_stats
 
-def main():
+
+def run_engine_bench(use_async: bool = False, n_frames: int = 240,
+                     log=lambda msg: print(msg, file=sys.stderr)) -> dict:
+    """Run the engine bench; returns a stall-annotated stats dict."""
     import jax
-    import jax.numpy as jnp
 
     from ptam_cg_tpu.config import (CameraConfig, EngineConfig,
                                     MapMakerConfig)
@@ -35,7 +42,6 @@ def main():
 
     size = (640, 480)
     params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
-    n_frames = 240
     seq = synth.SyntheticSequence(params, image_size=size,
                                   n_frames=n_frames, seed=7, height=1.5,
                                   radius=0.35, sweep=1.3)
@@ -58,7 +64,6 @@ def main():
     # in tests/test_async_mapping.py) cannot be exercised on this
     # backend. Mapping syncs are batched instead (BA chunk flags packed
     # into one read; decision_interval).
-    use_async = "--async" in sys.argv
     eng = engine_lib.SLAMEngine(cfg, image_size=size, max_points=4096,
                                 max_kfs=16, auto_init_frames=6, seed=0,
                                 decision_interval=8,
@@ -134,10 +139,10 @@ def main():
         info = eng.process_frame(frame)
         if i == warm - 1:
             precompile_mapping_jobs()
-            print(f"# warmup: {warm} frames in "
-                  f"{time.perf_counter() - t_warm0:.1f}s, "
-                  f"stage={info.stage} pts={info.n_points} "
-                  f"kfs={info.n_kfs}", file=sys.stderr)
+            log(f"# warmup: {warm} frames in "
+                f"{time.perf_counter() - t_warm0:.1f}s, "
+                f"stage={info.stage} pts={info.n_points} "
+                f"kfs={info.n_kfs}")
             assert info.stage == "TRACKING", info
             t0 = time.perf_counter()
         elif i >= warm:
@@ -146,24 +151,33 @@ def main():
             events.append((i, dt, info.added_kf, info.n_kfs))
     total = time.perf_counter() - t0
     fps = len(times) / total
-    times_ms = np.array(times) * 1000
 
+    stats = frame_stats(times)
+    stats.update({
+        "fps_as_printed": round(fps, 2),
+        "n_points": int(info.n_points),
+        "n_kfs": int(info.n_kfs),
+        "quality": int(info.quality),
+    })
+    log("# engine frame time " + fmt_stats(stats))
+    for i, dt, akf, kfs in sorted(events, key=lambda e: -e[1])[:8]:
+        log(f"#   spike f{i} {dt*1000:.1f}ms added_kf={akf} kfs={kfs}")
+    eng.close()
+    return stats
+
+
+def main():
+    use_async = "--async" in sys.argv
+    stats = run_engine_bench(use_async=use_async)
     baseline_fps = 30.0   # reference video-rate envelope per CPU core
+    fps = stats["fps_as_printed"]
     print(json.dumps({
         "metric": "engine_fps_640x480_mapping_active",
-        "value": round(fps, 2),
+        "value": fps,
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),
+        **{k: v for k, v in stats.items() if k != "fps_as_printed"},
     }))
-    print(f"# frame time mean={times_ms.mean():.2f}ms "
-          f"median={np.median(times_ms):.2f}ms "
-          f"p95={np.percentile(times_ms, 95):.2f}ms "
-          f"max={times_ms.max():.2f}ms pts={info.n_points} "
-          f"kfs={info.n_kfs} quality={info.quality}", file=sys.stderr)
-    for i, dt, akf, kfs in sorted(events, key=lambda e: -e[1])[:8]:
-        print(f"#   spike f{i} {dt*1000:.1f}ms added_kf={akf} kfs={kfs}",
-              file=sys.stderr)
-    eng.close()
 
 
 if __name__ == "__main__":

@@ -81,12 +81,10 @@ def main():
             times.append(time.perf_counter() - t1)
     total = time.perf_counter() - t0
     fps = len(times) / total
-    times_ms = np.array(times) * 1000
-    print(f"# engine at 64-KF scale: frame time "
-          f"mean={times_ms.mean():.2f}ms median={np.median(times_ms):.2f}"
-          f"ms p95={np.percentile(times_ms, 95):.2f}ms "
-          f"max={times_ms.max():.2f}ms pts={info.n_points} "
-          f"kfs={info.n_kfs} quality={info.quality} "
+    from bench_common import fmt_stats, frame_stats
+    stats = frame_stats(times)
+    print(f"# engine at 64-KF scale: frame time {fmt_stats(stats)} "
+          f"pts={info.n_points} kfs={info.n_kfs} quality={info.quality} "
           f"n_sel={mm._last_n_sel}", file=sys.stderr)
 
     # ---- mapping-job latencies at the 64-KF map ------------------------
@@ -141,6 +139,7 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),
+        **stats,
     }))
     eng.close()
 
