@@ -101,17 +101,11 @@ def run_engine_bench(use_async: bool = False, n_frames: int = 240,
         assert not use_async, "precompile warmup requires sync mapping"
         mm = eng.mapmaker
         mm.map = eng.map
-        # Land in-flight async work (deferred integrate / BA chunks).
-        while (mm._pending_integrate is not None or mm._ba_job is not None
-               or mm.kf_queue):
-            if mm._pending_integrate is not None:
-                slot = mm._drain_integrate(block=True)
-                if slot is not None:
-                    eng.newest_kf = slot
-            elif mm._ba_job is not None:
-                mm._ba_poll(block=True)
-            else:
-                mm.integrate_keyframe()
+        # Land in-flight async work (phased integrations, deferred
+        # reads, BA chunks, queued KFs, span-refind tasks).
+        slot = mm.drain_all()
+        if slot is not None:
+            eng.newest_kf = slot
         # One synchronous run of each job program.
         newest = 1 if eng.newest_kf is None else eng.newest_kf
         mm._jit_local_masks(mm.map, newest)              # local-BA masks

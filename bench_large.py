@@ -89,14 +89,7 @@ def main():
 
     # ---- mapping-job latencies at the 64-KF map ------------------------
     # Land any in-flight work first.
-    while (mm._pending_integrate is not None or mm._ba_job is not None
-           or mm.kf_queue):
-        if mm._pending_integrate is not None:
-            mm._drain_integrate(block=True)
-        elif mm._ba_job is not None:
-            mm._ba_poll(block=True)
-        else:
-            mm.integrate_keyframe()
+    mm.drain_all()
     mm.map = eng.map
 
     def timeit(fn, n=5):

@@ -139,6 +139,13 @@ class MapMakerConfig:
     #: pass shares the frame budget, so it runs at most this many inner
     #: iterations (as ONE device dispatch) and resumes next pass.
     ba_steps_per_pass: int = 5
+    #: Wall-clock budget (ms) for one BA chunk dispatch: the scheduler
+    #: sizes each chunk's iteration count from a measured per-step EMA
+    #: so the chip is never held by BA for much longer than one frame
+    #: interval — the tracker keeps its latency through global BA like
+    #: the reference's two-thread split (ref: src/MapMaker.cc:57-114).
+    #: ba_steps_per_pass stays the hard per-chunk cap.
+    ba_latency_budget_ms: float = 15.0
 
 
 @dataclasses.dataclass(frozen=True)

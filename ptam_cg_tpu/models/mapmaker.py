@@ -11,6 +11,7 @@ failure-queue refind -> bad-point GC -> keyframe integration.
 
 from __future__ import annotations
 
+import time
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -301,17 +302,27 @@ def refind_in_kf(m: MapState, k, point_mask: Array, cam: atan.Camera,
 
 
 def refind_all_kfs(m: MapState, mask2d: Array, cam: atan.Camera,
-                   image_size) -> Tuple[MapState, Array]:
-    """Re-find over EVERY keyframe in ONE jitted program: a lax.scan of
+                   image_size, ks: Array | None = None
+                   ) -> Tuple[MapState, Array]:
+    """Re-find over keyframes in ONE jitted program: a lax.scan of
     ``refind_in_kf`` over the KF axis (replaces the round-1 host loop —
     K sequential eager passes at ~2-3 ms/op dispatch on the TPU backend).
     ``mask2d`` is (K, P): the per-keyframe point selection (broadcast a
     (P,) mask for ReFindNewlyMade, pass the failure mask for
     ReFindFromFailureQueue; ref: src/MapMaker.cc:1046-1081).
 
-    Returns (map, per-KF found counts (K,)).
+    ``ks``: optional (S,) keyframe-index array to scan a SPAN of slots
+    instead of all K — the scheduler splits the 64/128-KF scan into
+    16-KF spans dispatched on successive frames so a single scan never
+    monopolizes the chip for ~25 ms (round 4 KF-latency work). Indices
+    past K-1 are clamped by gather; a re-scanned slot is a no-op (its
+    ``has_work`` check excludes already-measured points).
+
+    Returns (map, found count over the scanned span).
     """
     K = m.kf_valid.shape[0]
+    if ks is None:
+        ks = jnp.arange(K)
 
     def body(carry, k):
         mm_ = carry
@@ -331,7 +342,7 @@ def refind_all_kfs(m: MapState, mask2d: Array, cam: atan.Camera,
         new_m, nf = jax.lax.cond(has_work, run, skip, mm_)
         return new_m, nf
 
-    m, nfs = jax.lax.scan(body, m, jnp.arange(K))
+    m, nfs = jax.lax.scan(body, m, ks)
     return m, jnp.sum(nfs)
 
 
@@ -352,25 +363,21 @@ def local_ba_masks(m: MapState, newest, n_neighbors: int = 4):
     return adjust, fixed, pts
 
 
-def integrate_keyframe_program(m: MapState, features: FrameFeatures,
-                               pose: SE3, meas_point: Array,
-                               meas_pos: Array, meas_level: Array,
-                               meas_subpix: Array, meas_valid: Array,
-                               depth_mean, depth_sigma,
-                               new_point_mask: Array, cam: atan.Camera,
-                               image_size, wiggle_scale: float,
-                               thin_radius: float):
-    """Whole keyframe integration as ONE jitted program
-    (ref: AddKeyFrameFromTopOfQueue, src/MapMaker.cc:493-518): slot
-    allocation, insert, tracker measurements, re-find of all existing
-    points, then epipolar expansion at levels 3,0,1,2 with the
-    closest-KF target chosen device-side. The round-1 version ran this
-    as hundreds of eager ops (plus an int() sync per level) — seconds of
-    host time per keyframe on the networked TPU backend.
+#: Epipolar expansion level order (ref: AddSomeMapPoints calls,
+#: src/MapMaker.cc:507-510: levels 3, 0, 1, 2).
+EPI_LEVEL_ORDER = (3, 0, 1, 2)
 
-    Returns (map, slot, new_point_mask | added, n_added).
-    """
-    P = m.point_pos.shape[0]
+
+def integrate_insert_program(m: MapState, features: FrameFeatures,
+                             pose: SE3, meas_point: Array,
+                             meas_pos: Array, meas_level: Array,
+                             meas_subpix: Array, meas_valid: Array,
+                             depth_mean, depth_sigma, cam: atan.Camera,
+                             image_size):
+    """Keyframe-integration phase 0 as one jitted program: slot
+    allocation, insert, tracker measurements, re-find of all existing
+    points in the new KF (ref: AddKeyFrameFromTopOfQueue,
+    src/MapMaker.cc:493-505). Returns (map, slot device scalar)."""
     # First free keyframe slot (the engine's capacity heuristic
     # guarantees one exists before enqueueing).
     slot = jnp.argmin(m.kf_valid.astype(jnp.int32))
@@ -380,15 +387,61 @@ def integrate_keyframe_program(m: MapState, features: FrameFeatures,
         m, slot, meas_point, meas_pos, meas_level, meas_subpix,
         jnp.full_like(meas_level, ms.SRC_TRACKER), meas_valid)
     m, _ = refind_in_kf(m, slot, m.point_valid, cam, image_size)
+    return m, slot.astype(jnp.int32)
+
+
+def integrate_epi_program(m: MapState, slot, new_point_mask: Array,
+                          total, level: int, cam: atan.Camera,
+                          image_size, wiggle_scale: float,
+                          thin_radius: float, pack: bool = False):
+    """One epipolar-expansion level of keyframe integration
+    (ref: AddSomeMapPoints, src/MapMaker.cc:448-457, 507-510), target KF
+    chosen device-side. With ``pack`` (the final level) the result also
+    carries the packed (slot, n_added_total) control vector so the
+    caller pays ONE deferred read for the whole integration."""
+    tgt = closest_kf(m, slot)
+    m, n, mask_l = add_points_epipolar(
+        m, slot, tgt, level, cam, image_size, wiggle_scale, thin_radius)
+    new_point_mask = new_point_mask | mask_l
+    total = total + n
+    if pack:
+        return m, new_point_mask, jnp.stack([slot.astype(jnp.int32),
+                                             total])
+    return m, new_point_mask, total
+
+
+def integrate_keyframe_program(m: MapState, features: FrameFeatures,
+                               pose: SE3, meas_point: Array,
+                               meas_pos: Array, meas_level: Array,
+                               meas_subpix: Array, meas_valid: Array,
+                               depth_mean, depth_sigma,
+                               new_point_mask: Array, cam: atan.Camera,
+                               image_size, wiggle_scale: float,
+                               thin_radius: float):
+    """Whole keyframe integration as ONE jitted program
+    (ref: AddKeyFrameFromTopOfQueue, src/MapMaker.cc:493-518): the
+    composition of ``integrate_insert_program`` + the four
+    ``integrate_epi_program`` levels. The production scheduler runs the
+    five phases as SEPARATE dispatches interleaved with tracking frames
+    (round 4 — bounding the KF-frame latency spike); this fused variant
+    remains the single-dispatch reference for throughput benches
+    (bench_mapping.py) and equality tests.
+
+    Returns (map, new_point_mask | added, packed (slot, n_added)).
+    """
+    m, slot = integrate_insert_program(
+        m, features, pose, meas_point, meas_pos, meas_level, meas_subpix,
+        meas_valid, depth_mean, depth_sigma, cam, image_size)
     total = jnp.int32(0)
-    for lev in (3, 0, 1, 2):
-        tgt = closest_kf(m, slot)
-        m, n, mask_l = add_points_epipolar(
-            m, slot, tgt, lev, cam, image_size, wiggle_scale, thin_radius)
-        new_point_mask = new_point_mask | mask_l
-        total = total + n
+    for lev in EPI_LEVEL_ORDER[:-1]:
+        m, new_point_mask, total = integrate_epi_program(
+            m, slot, new_point_mask, total, lev, cam, image_size,
+            wiggle_scale, thin_radius)
     # slot + n_added packed so the caller pays ONE blocking read.
-    return m, new_point_mask, jnp.stack([slot.astype(jnp.int32), total])
+    m, new_point_mask, slot_n = integrate_epi_program(
+        m, slot, new_point_mask, total, EPI_LEVEL_ORDER[-1], cam,
+        image_size, wiggle_scale, thin_radius, pack=True)
+    return m, new_point_mask, slot_n
 
 
 def epipolar_job(m: MapState, src_kf, new_point_mask: Array, level: int,
@@ -774,8 +827,44 @@ class MapMaker:
             npm: integrate_keyframe_program(
                 m_, feat, pose, mpt, mpos, mlvl, msub, mval, dm, ds,
                 npm, cam, image_size, wiggle, thin))
+        # Phase-split keyframe integration (round 4): the scheduler runs
+        # insert+refind and each epipolar level as SEPARATE dispatches on
+        # successive frames, so no single KF-integration program
+        # monopolizes the chip behind a tracking frame (VERDICT r3 #1 —
+        # the fused ~12-24 ms program was a top KF-frame spike term).
+        self._jit_int_insert = pinned(
+            lambda m_, feat, pose, mpt, mpos, mlvl, msub, mval, dm, ds:
+            integrate_insert_program(m_, feat, pose, mpt, mpos, mlvl,
+                                     msub, mval, dm, ds, cam, image_size))
+        self._jit_int_epi = {
+            lev: pinned(lambda m_, slot, npm, tot, lev=lev:
+                        integrate_epi_program(m_, slot, npm, tot, lev,
+                                              cam, image_size, wiggle,
+                                              thin))
+            for lev in EPI_LEVEL_ORDER[:-1]}
+        self._jit_int_final = pinned(
+            lambda m_, slot, npm, tot: integrate_epi_program(
+                m_, slot, npm, tot, EPI_LEVEL_ORDER[-1], cam, image_size,
+                wiggle, thin, pack=True))
+        #: In-flight phased integration: {"phase": i, "slot": dev,
+        #: "tot": dev} — advanced one dispatch per scheduler pass.
+        self._integrate_job = None
         self._jit_refind_all = pinned(
             lambda m_, mask2d: refind_all_kfs(m_, mask2d, cam, image_size))
+        # Span-scan variant: the same lax.scan over a 16-slot index
+        # window so the 64/128-KF refind (~25 ms in one scan) spreads
+        # over several frames (round 4 KF-latency work). One compiled
+        # program serves every span (the index array is traced).
+        self._jit_refind_span = pinned(
+            lambda m_, mask2d, ks: refind_all_kfs(m_, mask2d, cam,
+                                                  image_size, ks))
+        span = min(16, K)
+        self._span_ks = [jnp.arange(k0, k0 + span)
+                         for k0 in range(0, K - span + 1, span)]
+        if K % span:    # tail span re-uses the last full window's shape
+            self._span_ks.append(jnp.arange(K - span, K))
+        #: In-flight span-refind task: {"mask2d": (K,P) bool, "i": int}.
+        self._refind_task = None
         self._jit_epipolar = {
             lev: pinned(lambda m_, src, npm, lev=lev: epipolar_job(
                 m_, src, npm, lev, cam, image_size, wiggle, thin))
@@ -831,6 +920,19 @@ class MapMaker:
         self.wiggle_depth_norm = 1.0
         self.key = jax.random.PRNGKey(seed)
         self._rng = np.random.default_rng(seed)
+        #: LM scalar template (lambda etc. are config constants): a
+        #: fresh init_lm per BA run device_puts ~7 scalars — each a
+        #: ~1-3 ms round trip on the networked backend.
+        self._lm_template = bundlelib.init_lm(None, ba_cfg)
+        #: Cached device zero (a fresh jnp.int32(0) per keyframe is an
+        #: eager device_put — ~1-3 ms on the networked backend).
+        self._zero_i32 = jnp.int32(0)
+        #: Measured per-LM-step wall time EMA (ms); None until the first
+        #: chunk lands. Sizes BA chunks to cfg.ba_latency_budget_ms so a
+        #: chunk never monopolizes the chip much longer than a frame
+        #: budget (round 4 — VERDICT r3 #1: fixed 5-step chunks were
+        #: 60-130 ms at 64-KF scale).
+        self._ba_step_ms = None
 
     # -- small helpers ----------------------------------------------------
     def _next_key(self):
@@ -886,6 +988,9 @@ class MapMaker:
 
     def _ba_start(self, adjust_kf, fixed_kf, point_mask, recent: bool,
                   full: bool = False, sharded: bool = False):
+        """Dispatch the BA problem EXTRACTION only (at 64-KF scale the
+        compact extract is a ~25-30 ms program — its own frame slot).
+        The first LM chunk goes out at the next ``_ba_poll``."""
         caps = self._ba_caps()
         prob, mk, mp, cam_idx, pt_idx, counts = self._jit_extract(
             self.map, adjust_kf, fixed_kf, point_mask, *caps)
@@ -896,19 +1001,36 @@ class MapMaker:
         self._ba_job = dict(mk=mk, mp=mp, cam_idx=cam_idx, pt_idx=pt_idx,
                             adjust=adjust_kf, pmask=point_mask,
                             recent=recent, full=full, flags=None,
-                            check_sel=counts, caps=caps, sharded=sharded)
-        if sharded:
+                            check_sel=counts, caps=caps, sharded=sharded,
+                            prob=prob, state=None)
+
+    def _ba_init_state(self):
+        """Phase 2 of the BA start: shard (if meshed) + LM-state init +
+        first chunk dispatch."""
+        job = self._ba_job
+        prob = job.pop("prob")
+        if job["sharded"]:
             # Point-shard the problem over the mesh; the host-side
             # measurement reorder blocks on the extract result, which is
             # acceptable at global-BA cadence (one shard per BA run).
             from ptam_cg_tpu.parallel import sharded_ba
             sprob, perm = sharded_ba.shard_problem(
                 prob, self.mesh, self.mesh_axis, return_perm=True)
-            self._ba_job.update(orig_prob=prob, perm=perm)
-            self._ba_job["state"] = bundlelib.init_lm(sprob, self.ba_cfg)
+            job.update(orig_prob=prob, perm=perm)
+            job["state"] = self._lm_template._replace(problem=sprob)
         else:
-            self._ba_job["state"] = bundlelib.init_lm(prob, self.ba_cfg)
+            job["state"] = self._lm_template._replace(problem=prob)
         self._ba_dispatch_chunk()
+
+    def _chunk_steps(self) -> int:
+        """LM iterations for the next chunk: fit the measured per-step
+        time into ``ba_latency_budget_ms`` (hard cap ba_steps_per_pass).
+        The first chunk of a MapMaker's life is a 1-step probe."""
+        if self._ba_step_ms is None:
+            return 1
+        return max(1, min(self.cfg.ba_steps_per_pass,
+                          int(self.cfg.ba_latency_budget_ms
+                              / max(self._ba_step_ms, 1e-3))))
 
     def _ba_dispatch_chunk(self):
         job = self._ba_job
@@ -919,24 +1041,38 @@ class MapMaker:
                 self.mesh, self.ba_cfg, kind, self.mesh_axis)
         else:
             chunkf = bundlelib._cached_lm_chunk(self.ba_cfg, kind)
-        # Chunk limit: host-known iters so far + per-chunk budget,
+        # Chunk limit: host-known iters so far + latency-fitted budget,
         # capped at the global max.
         target = jnp.int32(self.ba_cfg.max_iterations if job["full"]
                            else min(job.get("iters_done", 0)
-                                    + self.cfg.ba_steps_per_pass,
+                                    + self._chunk_steps(),
                                     self.ba_cfg.max_iterations))
         state, flags = chunkf(job["state"], self.cam, target)
         flags.copy_to_host_async()
         job["state"] = state
         job["flags"] = flags
+        job["iters_before"] = job.get("iters_done", 0)
+        job["t_dispatch"] = time.perf_counter()
 
     def _ba_poll(self, block: bool = False):
         """Advance the in-flight BA job. Returns True while busy."""
         job = self._ba_job
         if job is None:
             return False
+        if job["state"] is None:
+            # Extract dispatched, LM not started. A keyframe queued in
+            # the gap aborts for free — nothing has been computed yet.
+            if self.kf_queue and not block:
+                self._ba_job = None
+                return False
+            self._ba_init_state()
+            return True
         if not block and not job["flags"].is_ready():
             return True
+        # Per-step wall-time EMA for latency-fitted chunk sizing. The
+        # flags-ready timestamp overestimates by up to one poll interval
+        # (~one frame) and stalls are excluded (>5 s).
+        dt = time.perf_counter() - job["t_dispatch"]
         if job.get("check_sel") is not None:
             n_c, n_p, n_sel = (int(x) for x in
                                np.asarray(job["check_sel"]))
@@ -967,6 +1103,12 @@ class MapMaker:
                     f"set.", RuntimeWarning, stacklevel=2)
         conv, iters, failed, accepted = (
             int(x) for x in np.asarray(job["flags"]))
+        n_new = iters - job.get("iters_before", 0)
+        if n_new > 0 and dt < 5.0:
+            per_ms = dt / n_new * 1000.0
+            self._ba_step_ms = (per_ms if self._ba_step_ms is None
+                                else 0.7 * self._ba_step_ms
+                                + 0.3 * per_ms)
         job["iters_done"] = iters
         if failed:
             # Cholesky/NaN blow-up: ditch the map
@@ -1047,30 +1189,49 @@ class MapMaker:
             self._new_points_pending = True
         return n
 
-    def refind_newly_made(self):
-        """(ref: ReFindNewlyMade, src/MapMaker.cc:1046-1065) — one
-        jitted scan over every keyframe."""
-        if not self._new_points_pending:
-            return 0
-        K = self.map.kf_valid.shape[0]
-        mask2d = jnp.broadcast_to(self.new_point_mask, (K,) +
-                                  self.new_point_mask.shape)
-        self.map, nf = self._jit_refind_all(self.map, mask2d)
-        self.new_point_mask = jnp.zeros_like(self.new_point_mask)
-        self._new_points_pending = False
-        # Device scalar — no blocking read here; callers int() if needed.
-        return nf
+    # --- span-refind task machine -------------------------------------
+    # The all-KF refind scan is ~25 ms at 64 KFs in one dispatch; the
+    # scheduler instead snapshots the selection mask and dispatches one
+    # 16-slot span per pass (round 4 KF-latency work). Map updates
+    # between spans are safe: refind_in_kf's active set excludes
+    # already-measured points, so a span is idempotent over them.
 
-    def refind_from_failure_queue(self):
-        """(ref: ReFindFromFailureQueue, src/MapMaker.cc:1070-1081) —
-        one jitted scan over every keyframe."""
-        if not self._failures_pending:
-            return 0
-        self.map, nf = self._jit_refind_all(self.map, self.failure_mask)
-        self.failure_mask = jnp.zeros_like(self.failure_mask)
-        self._failures_pending = False
-        # Device scalar — no blocking read here; callers int() if needed.
-        return nf
+    def _start_refind_task(self, mask2d: Array):
+        self._refind_task = dict(mask2d=mask2d, i=0)
+
+    def _refind_advance(self):
+        task = self._refind_task
+        self.map, _ = self._jit_refind_span(
+            self.map, task["mask2d"], self._span_ks[task["i"]])
+        task["i"] += 1
+        if task["i"] >= len(self._span_ks):
+            self._refind_task = None
+
+    def refind_newly_made(self, spread: bool = False):
+        """(ref: ReFindNewlyMade, src/MapMaker.cc:1046-1065). With
+        ``spread`` the scan becomes a span task advanced by later
+        scheduler passes; otherwise every span dispatches back-to-back
+        (one device queue, same results)."""
+        if self._new_points_pending and self._refind_task is None:
+            K = self.map.kf_valid.shape[0]
+            mask2d = jnp.broadcast_to(self.new_point_mask, (K,) +
+                                      self.new_point_mask.shape)
+            self._start_refind_task(mask2d)
+            self.new_point_mask = jnp.zeros_like(self.new_point_mask)
+            self._new_points_pending = False
+        if not spread:
+            while self._refind_task is not None:
+                self._refind_advance()
+
+    def refind_from_failure_queue(self, spread: bool = False):
+        """(ref: ReFindFromFailureQueue, src/MapMaker.cc:1070-1081)."""
+        if self._failures_pending and self._refind_task is None:
+            self._start_refind_task(self.failure_mask)
+            self.failure_mask = jnp.zeros_like(self.failure_mask)
+            self._failures_pending = False
+        if not spread:
+            while self._refind_task is not None:
+                self._refind_advance()
 
     def handle_bad_points(self):
         # Only worth running after the map actually changed (tracker
@@ -1090,31 +1251,64 @@ class MapMaker:
         self.kf_queue.append((features, pose, meas, depth_mean,
                               depth_sigma))
 
-    def integrate_keyframe(self):
-        """(ref: AddKeyFrameFromTopOfQueue, src/MapMaker.cc:493-518) —
-        insert + measurements + refind + 4-level epipolar expansion as
-        ONE jitted dispatch. The (slot, n_added) control vector is
-        async-copied and read by a LATER ``step`` pass
-        (``_drain_integrate``), so the KF frame never blocks on the
-        ~12 ms integrate program (a blocking read drains the whole
-        dispatch queue — measured 120-140 ms KF frames on the networked
-        backend)."""
+    # --- phased keyframe integration ----------------------------------
+    # (ref: AddKeyFrameFromTopOfQueue, src/MapMaker.cc:493-518.) Five
+    # bounded dispatches — insert+measurements+refind, then one epipolar
+    # level each (order 3,0,1,2) — advanced one per scheduler pass so no
+    # single program holds the chip behind a tracking frame (the fused
+    # ~12-24 ms variant was a top KF-frame latency term, VERDICT r3 #1).
+    # The (slot, n_added) control vector is packed by the final phase,
+    # async-copied, and read by a later pass (``_drain_integrate``).
+
+    def _integrate_start(self):
+        """Phase 0: pop the queue, insert + tracker measurements +
+        refind-in-new-KF as one dispatch."""
         if not self.kf_queue:
             return None
         K = self.map.kf_valid.shape[0]
         if self._n_kfs_host >= K:
             return None  # keyframe capacity exhausted
         features, pose, meas, dmean, dsigma = self.kf_queue.pop(0)
-        (self.map, self.new_point_mask,
-         slot_n) = self._jit_integrate(
+        self.map, slot = self._jit_int_insert(
             self.map, features, pose, meas["point"], meas["pos"],
             meas["level"], meas["subpix"], meas["valid"],
-            jnp.float32(dmean), jnp.float32(dsigma), self.new_point_mask)
+            jnp.float32(dmean), jnp.float32(dsigma))
         self._n_kfs_host += 1
-        slot_n.copy_to_host_async()
-        self._pending_integrate = slot_n
+        self._integrate_job = dict(slot=slot, tot=self._zero_i32,
+                                   phase=0)
         self.converged_recent = False
         self.converged_full = False
+        return None
+
+    def _integrate_advance(self):
+        """One epipolar-level dispatch; the final level packs the
+        deferred (slot, n_added) read."""
+        job = self._integrate_job
+        ph = job["phase"]
+        if ph < len(EPI_LEVEL_ORDER) - 1:
+            lev = EPI_LEVEL_ORDER[ph]
+            self.map, self.new_point_mask, job["tot"] = \
+                self._jit_int_epi[lev](self.map, job["slot"],
+                                       self.new_point_mask, job["tot"])
+            job["phase"] = ph + 1
+        else:
+            self.map, self.new_point_mask, slot_n = self._jit_int_final(
+                self.map, job["slot"], self.new_point_mask, job["tot"])
+            slot_n.copy_to_host_async()
+            self._pending_integrate = slot_n
+            self._integrate_job = None
+
+    def integrate_keyframe(self):
+        """Run a full keyframe integration with ALL phases dispatched
+        back-to-back (the synchronous/compat entry; the scheduler
+        advances one phase per pass instead)."""
+        if self._integrate_job is None:
+            before = self._n_kfs_host
+            self._integrate_start()
+            if self._n_kfs_host == before:
+                return None   # nothing to integrate / capacity full
+        while self._integrate_job is not None:
+            self._integrate_advance()
         return None
 
     def _drain_integrate(self, block: bool = False):
@@ -1131,21 +1325,57 @@ class MapMaker:
             self._new_points_pending = True
         return slot
 
+    def drain_all(self):
+        """Land every in-flight/pending mapping job synchronously:
+        phased integrations, deferred reads, BA chunks, queued
+        keyframes, span-refind tasks. Benches and tests use this to
+        reach a quiescent map; the engine never calls it. Returns the
+        last integrated keyframe slot (or None)."""
+        last_slot = None
+        while True:
+            if self._integrate_job is not None:
+                while self._integrate_job is not None:
+                    self._integrate_advance()
+            elif self._pending_integrate is not None:
+                slot = self._drain_integrate(block=True)
+                if slot is not None:
+                    last_slot = slot
+            elif self._ba_job is not None:
+                self._ba_poll(block=True)
+            elif self._refind_task is not None:
+                self._refind_advance()
+            elif self.kf_queue:
+                self.integrate_keyframe()
+            else:
+                break
+        return last_slot
+
     # -- the priority loop -------------------------------------------------
     def step(self, newest_kf: Optional[int] = None):
         """One pass of the mapping priority hierarchy
-        (ref: MapMaker::run, src/MapMaker.cc:82-113).
+        (ref: MapMaker::run, src/MapMaker.cc:82-113), with the round-4
+        latency invariant: AT MOST ONE bounded mapping dispatch per pass
+        (~<= 15-30 ms of device time), so tracking never queues behind a
+        long mapping program on the single chip — the dispatch-level
+        equivalent of the reference's two-thread latency isolation
+        (ref: include/MapMaker.h:37-38, src/MapMaker.cc:57-114).
 
-        BA runs through the non-blocking state machine: one LM chunk in
-        flight at a time, polled here — the frame loop never blocks on
-        BA. A queued keyframe aborts the job at its next completed chunk
-        (the reference's abort flag, src/MapMaker.cc:486-487)."""
+        BA runs through the non-blocking state machine: one
+        latency-fitted LM chunk in flight at a time, polled here — the
+        frame loop never blocks on BA. A queued keyframe aborts the job
+        at its next completed chunk (the reference's abort flag,
+        src/MapMaker.cc:486-487); keyframe integration itself advances
+        in five bounded phases."""
         if self.reset_requested or not self.good_host:
             return
-        # Land a deferred KF integration first; while its control read
-        # is in flight (~one frame) nothing else runs.
+        # Land a deferred KF integration read first; while its control
+        # read is in flight (~one frame) nothing else runs.
         if self._pending_integrate is not None:
             return self._drain_integrate()
+        # An in-flight phased integration owns the pass.
+        if self._integrate_job is not None:
+            self._integrate_advance()
+            return
         if self._ba_job is not None:
             # Advance (or finalize/abort) the in-flight BA; nothing else
             # runs while BA owns the map — except KF integration after
@@ -1153,21 +1383,26 @@ class MapMaker:
             if self._ba_poll():
                 return
             if self.kf_queue:
-                return self.integrate_keyframe()
+                return self._integrate_start()
             return
-        if not self.converged_recent and not self.kf_queue \
-                and newest_kf is not None:
+        if self.kf_queue:
+            return self._integrate_start()
+        if not self.converged_recent and newest_kf is not None:
             self.bundle_adjust_recent(newest_kf, start_only=True)
             return
-        if self.converged_recent and not self.kf_queue:
-            self.refind_newly_made()
-        if self.converged_recent and not self.converged_full \
-                and not self.kf_queue:
+        # An in-flight span-refind task owns the pass.
+        if self._refind_task is not None:
+            self._refind_advance()
+            return
+        if self.converged_recent and self._new_points_pending:
+            self.refind_newly_made(spread=True)
+            return
+        if self.converged_recent and not self.converged_full:
             self.bundle_adjust_all(start_only=True)
             return
         if self.converged_recent and self.converged_full \
-                and self._rng.integers(20) == 0 and not self.kf_queue:
-            self.refind_from_failure_queue()
+                and self._failures_pending \
+                and self._rng.integers(20) == 0:
+            self.refind_from_failure_queue(spread=True)
+            return
         self.handle_bad_points()
-        if self.kf_queue:
-            return self.integrate_keyframe()

@@ -365,3 +365,47 @@ def test_ba_capacity_overflow_warns():
         warnings.simplefilter("always")
         maker.bundle_adjust_all()
     assert any("capacity exceeded" in str(x.message) for x in w)
+
+
+def test_phased_integration_matches_fused():
+    """The round-4 five-phase KF integration (insert+refind, then one
+    epipolar level per scheduler pass) must produce the same map as the
+    single-dispatch fused program — the phases are the same composition,
+    split only at dispatch boundaries."""
+    import bench_mapping
+    from ptam_cg_tpu.camera import atan
+
+    size = (128, 96)
+    seq, cam, m, build_full = bench_mapping.build_scene(size, P=128, K=4)
+    P = m.point_pos.shape[0]
+    ff1 = build_full(seq.frame(1))
+    pose1 = seq.pose(1)
+    p_cam = m.point_pos @ pose1.R.T + pose1.t
+    z1 = p_cam[:, :2] / p_cam[:, 2:3]
+    pix = atan.project(z1, cam)
+    valid = m.point_valid & (p_cam[:, 2] > 0.1)
+    meas = dict(point=jnp.arange(P), pos=pix, level=m.point_src_level,
+                subpix=valid, valid=valid)
+
+    maker_f = mm.MapMaker(m, cam, size)
+    out_m, new_mask, slot_n = maker_f._jit_integrate(
+        m, ff1, pose1, meas["point"], meas["pos"], meas["level"],
+        meas["subpix"], meas["valid"], jnp.float32(1.5), jnp.float32(0.1),
+        jnp.zeros(P, bool))
+
+    maker_p = mm.MapMaker(m, cam, size)
+    maker_p.add_keyframe(ff1, pose1, meas, 1.5, 0.1)
+    maker_p._integrate_start()
+    n_phases = 1
+    while maker_p._integrate_job is not None:
+        maker_p._integrate_advance()
+        n_phases += 1
+    assert n_phases == 1 + len(mm.EPI_LEVEL_ORDER)
+    slot = maker_p._drain_integrate(block=True)
+
+    assert slot == int(slot_n[0])
+    np.testing.assert_array_equal(np.asarray(new_mask),
+                                  np.asarray(maker_p.new_point_mask))
+    for name, a, b in zip(out_m._fields, out_m, maker_p.map):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, err_msg=name)
