@@ -486,7 +486,23 @@ def subpix_refine(atlas: Array, templates: Array, pos0: Array,
         conv = conv | (active & (step_sq < conv_limit * conv_limit))
         return pos, mean_diff, conv, failed
 
-    init = (pos0, jnp.zeros(N, jnp.float32), jnp.zeros(N, bool),
-            jnp.zeros(N, bool))
-    pos, _, conv, failed = jax.lax.fori_loop(0, max_its, body, init)
+    # while_loop with an all-settled early exit (EXACT parity with the
+    # fixed fori_loop: settled points take no further updates, so the
+    # skipped iterations are no-ops). Typical frames settle in 2-4
+    # iterations; the serial 8-iteration loop was one of the largest
+    # flat-profile entries in the round-3 track trace.
+    def loop_cond(state):
+        it, _, _, conv, failed = state
+        return (it < max_its) & ~jnp.all(conv | failed)
+
+    def loop_body(state):
+        it, pos, mean_diff, conv, failed = state
+        pos, mean_diff, conv, failed = body(
+            it, (pos, mean_diff, conv, failed))
+        return it + 1, pos, mean_diff, conv, failed
+
+    init = (jnp.int32(0), pos0, jnp.zeros(N, jnp.float32),
+            jnp.zeros(N, bool), jnp.zeros(N, bool))
+    _, pos, _, conv, failed = jax.lax.while_loop(loop_cond, loop_body,
+                                                 init)
     return SubPixResult(pos=pos, converged=conv & ~failed)
