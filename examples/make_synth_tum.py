@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--trajectory", choices=["orbit", "loop"],
                     default="orbit",
                     help="'loop' = full circuit returning to the start")
+    ap.add_argument("--motion-blur", type=int, default=0,
+                    help="exposure samples averaged per frame (velocity-"
+                         "dependent directional blur; 0 = instant)")
+    ap.add_argument("--rolling-shutter", type=float, default=0.0,
+                    help="row-readout span as a fraction of the frame "
+                         "period (row r lags by this * r/H)")
     ap.add_argument("--radius", type=float, default=0.35)
     ap.add_argument("--seed", type=int, default=5)
     args = ap.parse_args()
@@ -51,7 +57,9 @@ def main():
                                   height=1.5, radius=args.radius,
                                   sweep=1.3, boxes=boxes,
                                   trajectory=args.trajectory,
-                                  hostile=args.hostile)
+                                  hostile=args.hostile,
+                                  motion_blur=args.motion_blur,
+                                  rolling_shutter=args.rolling_shutter)
     frames = (seq.frame(i) for i in range(args.frames))
     poses = [seq.pose(i) for i in range(args.frames)]
     tum.write_synthetic_dataset(args.out, frames, poses=poses,

@@ -66,30 +66,45 @@ def _tex_sample(tex: Array, uv: Array) -> Array:
             + t10 * (1 - fu) * fv + t11 * fu * fv)
 
 
-def render_plane(cam: atan.Camera, T_cw: SE3, texture: Array,
-                 image_size: Tuple[int, int],
-                 tex_scale: float = 256.0) -> Array:
-    """Render the z=0 world plane through pose T_cw (world->camera).
+def _make_rays(cam: atan.Camera, T_cw: SE3, image_size):
+    """Pixel rays in world space. ``T_cw`` may be a single pose
+    (R (3,3) / t (3,)) or a PER-ROW pose stack (R (H,3,3) / t (H,3)) —
+    the rolling-shutter path hands every image row its own exposure-time
+    pose (real CMOS sensors read out row by row; the reference's
+    habitat is exactly such cameras, src/VideoSource.cc:19-56).
 
-    ``tex_scale``: texture pixels per world unit (plane is tiled).
-    Returns (H, W) float32 image in [0, 255]; pixels whose ray misses the
-    plane render as 0.
-    """
+    Returns (origin, dir_w): origin broadcastable against (H, W, 3)."""
     W, H = image_size
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     pix = jnp.stack([xs, ys], axis=-1)
     z1 = atan.unproject(pix, cam)                         # (H, W, 2)
     ray_cam = jnp.concatenate([z1, jnp.ones_like(z1[..., :1])], axis=-1)
+    if T_cw.R.ndim == 2:
+        T_wc = se3lib.inv(T_cw)
+        return T_wc.t, ray_cam @ T_wc.R.T                 # (3,), (H, W, 3)
+    R_wc = jnp.swapaxes(T_cw.R, -1, -2)                   # (H, 3, 3)
+    origin = -jnp.einsum("hij,hj->hi", R_wc, T_cw.t)      # (H, 3)
+    dir_w = jnp.einsum("hwj,hij->hwi", ray_cam, R_wc)
+    return origin[:, None, :], dir_w
 
-    T_wc = se3lib.inv(T_cw)
-    origin = T_wc.t                                       # camera center
-    dir_w = ray_cam @ T_wc.R.T                            # (H, W, 3)
+
+def render_plane(cam: atan.Camera, T_cw: SE3, texture: Array,
+                 image_size: Tuple[int, int],
+                 tex_scale: float = 256.0) -> Array:
+    """Render the z=0 world plane through pose T_cw (world->camera; a
+    single pose or a per-row rolling-shutter stack, see ``_make_rays``).
+
+    ``tex_scale``: texture pixels per world unit (plane is tiled).
+    Returns (H, W) float32 image in [0, 255]; pixels whose ray misses the
+    plane render as 0.
+    """
+    origin, dir_w = _make_rays(cam, T_cw, image_size)
 
     dz = dir_w[..., 2]
-    s = -origin[2] / jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
+    s = -origin[..., 2] / jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
     hit = (s > 0.05) & (jnp.abs(dz) > 1e-6)
-    xy_w = origin[:2] + s[..., None] * dir_w[..., :2]
+    xy_w = origin[..., :2] + s[..., None] * dir_w[..., :2]
     vals = _tex_sample(texture, xy_w * tex_scale)
     return jnp.where(hit, vals, 0.0)
 
@@ -106,20 +121,14 @@ def render_scene(cam: atan.Camera, T_cw: SE3, texture: Array,
     ``boxes``: (B, 4) rows [cx, cy, half_xy, height]; each block spans
     x,y in [c-half, c+half] and z in [-height, 0] (cameras look from
     negative z). Blocks are textured from the same texture with per-face
-    shading so their sides differ from their tops.
+    shading so their sides differ from their tops. ``T_cw`` may be a
+    per-row rolling-shutter pose stack (see ``_make_rays``).
     """
     W, H = image_size
-    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    pix = jnp.stack([xs, ys], axis=-1)
-    z1 = atan.unproject(pix, cam)
-    ray_cam = jnp.concatenate([z1, jnp.ones_like(z1[..., :1])], axis=-1)
-    T_wc = se3lib.inv(T_cw)
-    origin = T_wc.t
-    dir_w = ray_cam @ T_wc.R.T                            # (H, W, 3)
+    origin, dir_w = _make_rays(cam, T_cw, image_size)
 
     dz = dir_w[..., 2]
-    s_plane = -origin[2] / jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
+    s_plane = -origin[..., 2] / jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
     plane_ok = (s_plane > 0.05) & (jnp.abs(dz) > 1e-6)
     best_s = jnp.where(plane_ok, s_plane, jnp.inf)
     best_shade = jnp.ones((H, W), jnp.float32)
@@ -251,6 +260,52 @@ def loop_trajectory(n_frames: int, height: float = 1.5,
     return SE3(R_cw, t_cw)
 
 
+def interp_pose(T0: SE3, delta: Array, alpha: Array) -> SE3:
+    """Pose at fractional time ``alpha`` along the inter-frame twist
+    ``delta = se3_log(T1 * T0^-1)`` (left-composition interpolation;
+    alpha may be batched — the rolling-shutter path passes one per
+    image row)."""
+    return se3lib.mul(se3lib.se3_exp(alpha[..., None] * delta), T0)
+
+
+def render_motion(cam: atan.Camera, T0: SE3, delta: Array, texture: Array,
+                  image_size: Tuple[int, int], boxes,
+                  tex_scale: float, n_blur: int,
+                  rolling_shutter: float, exposure: float) -> Array:
+    """Render a frame with the two classic real-camera failure modes the
+    clean synthetic lacked (VERDICT r3 #6):
+
+    - MOTION BLUR: the frame is the mean of ``n_blur`` renders spread
+      over ``exposure`` of the inter-frame motion — blur length and
+      direction follow the camera velocity exactly like a physical
+      exposure window.
+    - ROLLING SHUTTER: image row r is exposed at time offset
+      ``rolling_shutter * r/H`` of the frame period, so each row renders
+      through its own interpolated pose (CMOS row-sequential readout).
+
+    The ground-truth pose of the frame remains T0 (start of exposure);
+    at 30 Hz with rolling_shutter=0.7 the bottom row lags ~23 ms.
+    """
+    W, H = image_size
+    rows = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    n = max(n_blur, 1)
+    acc = jnp.zeros((H, W), jnp.float32)
+    for s_i in range(n):
+        t_off = (s_i + 0.5) / n * exposure if n_blur > 0 else 0.0
+        alpha = t_off + rolling_shutter * rows           # (H,)
+        if rolling_shutter == 0.0:
+            T = interp_pose(T0, delta, jnp.float32(t_off))
+        else:
+            T = interp_pose(T0, delta, alpha)            # per-row stack
+        if boxes is None:
+            acc = acc + render_plane(cam, T, texture, image_size,
+                                     tex_scale)
+        else:
+            acc = acc + render_scene(cam, T, texture, image_size, boxes,
+                                     tex_scale)
+    return acc / n
+
+
 def hostile_transform(im: Array, i, key: Array,
                       noise_std: float = 4.0,
                       gain_amp: float = 0.25,
@@ -283,12 +338,19 @@ class SyntheticSequence:
     def __init__(self, cam_params, image_size=(640, 480), n_frames=100,
                  seed=0, height=1.5, radius=0.25, sweep=0.8,
                  tex_scale=256.0, boxes=None, trajectory="orbit",
-                 hostile=False):
+                 hostile=False, motion_blur: int = 0,
+                 rolling_shutter: float = 0.0,
+                 exposure: float = 0.5):
         """``boxes``: optional (B, 4) raised-block array (see
         ``render_scene``) for a non-planar scene with occlusion; None
         renders the plane only. ``trajectory``: "orbit" (lateral arc) or
         "loop" (full circuit returning to the start). ``hostile``: apply
-        ``hostile_transform`` photometric corruption to every frame."""
+        ``hostile_transform`` photometric corruption to every frame.
+        ``motion_blur``: number of exposure samples averaged per frame
+        (0 = instant exposure); ``rolling_shutter``: row-readout span as
+        a fraction of the frame period (row r lags by that fraction *
+        r/H); ``exposure``: shutter-open fraction of the frame period
+        used by motion blur. See ``render_motion``."""
         self.cam = atan.make_camera(cam_params, image_size)
         self.image_size = image_size
         self.n_frames = n_frames
@@ -301,7 +363,14 @@ class SyntheticSequence:
         self.boxes = boxes
         self.hostile = hostile
         self._seed = seed
-        if boxes is None:
+        self.motion_blur = motion_blur
+        self.rolling_shutter = rolling_shutter
+        self._moving = motion_blur > 0 or rolling_shutter > 0.0
+        if self._moving:
+            base = lambda T, delta: render_motion(
+                self.cam, T, delta, self.texture, self.image_size, boxes,
+                self.tex_scale, motion_blur, rolling_shutter, exposure)
+        elif boxes is None:
             base = lambda T: render_plane(self.cam, T, self.texture,
                                           self.image_size, self.tex_scale)
         else:
@@ -310,15 +379,23 @@ class SyntheticSequence:
                                           self.tex_scale)
         if hostile:
             self._render = jax.jit(
-                lambda T, i, key: hostile_transform(base(T), i, key))
+                lambda *a: hostile_transform(base(*a[:-2]), a[-2], a[-1]))
         else:
-            self._render = jax.jit(lambda T: base(T))
+            self._render = jax.jit(lambda *a: base(*a))
 
     def pose(self, i: int) -> SE3:
         return SE3(self.poses.R[i], self.poses.t[i])
 
     def frame(self, i: int) -> Array:
+        args = [self.pose(i)]
+        if self._moving:
+            j = min(i + 1, self.n_frames - 1)
+            delta = se3lib.se3_log(
+                se3lib.mul(self.pose(j), se3lib.inv(self.pose(i))))
+            if j == i:                      # last frame: no motion
+                delta = jnp.zeros(6, jnp.float32)
+            args.append(delta)
         if self.hostile:
             key = jax.random.PRNGKey(self._seed * 100003 + i)
-            return self._render(self.pose(i), i, key)
-        return self._render(self.pose(i))
+            args += [i, key]
+        return self._render(*args)

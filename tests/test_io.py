@@ -115,3 +115,47 @@ def test_dataset_replay_through_engine_frontend(tmp_path):
     ff = keyframe.build_frame(jnp.asarray(frame),
                               candidate_min_score=50.0)
     assert int(ff.corner_count.sum()) > 0
+
+
+def test_rolling_shutter_rows_match_interpolated_poses():
+    """Row r of a rolling-shutter render must equal row r of a STATIC
+    render at that row's exposure-time pose (the per-row pose stack in
+    synth._make_rays is exactly row-sequential CMOS readout)."""
+    from ptam_cg_tpu.camera import atan
+    from ptam_cg_tpu.io import synth
+
+    params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
+    size = (80, 64)
+    cam = atan.make_camera(params, size)
+    tex = synth.make_texture(jnp.asarray([0, 3], jnp.uint32), 128)
+    T0 = se3lib.SE3(jnp.eye(3), jnp.asarray([0.0, 0.0, 1.5]))
+    delta = jnp.asarray([0.08, 0.02, 0.0, 0.0, 0.03, 0.0], jnp.float32)
+    rs = synth.render_motion(cam, T0, delta, tex, size, None, 64.0,
+                             n_blur=0, rolling_shutter=1.0, exposure=0.0)
+    H = size[1]
+    for r in (0, H // 2, H - 1):
+        alpha = jnp.float32((r + 0.5) / H)
+        Tr = synth.interp_pose(T0, delta, alpha)
+        static = synth.render_plane(cam, Tr, tex, size, 64.0)
+        np.testing.assert_allclose(np.asarray(rs[r]),
+                                   np.asarray(static[r]), atol=1e-3)
+
+
+def test_motion_blur_softens_and_is_deterministic():
+    from ptam_cg_tpu.io import synth
+
+    params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
+    kw = dict(image_size=(80, 64), n_frames=5, seed=4, radius=0.5,
+              sweep=1.5)
+    clean = synth.SyntheticSequence(params, **kw)
+    blurred = synth.SyntheticSequence(params, motion_blur=6, **kw)
+    f0 = np.asarray(clean.frame(1))
+    f1 = np.asarray(blurred.frame(1))
+    assert np.abs(f0 - f1).mean() > 0.5          # visibly different
+    g0 = np.abs(np.diff(f0, axis=1)).mean()      # blur kills gradients
+    g1 = np.abs(np.diff(f1, axis=1)).mean()
+    assert g1 < g0
+    np.testing.assert_array_equal(f1, np.asarray(blurred.frame(1)))
+    # Final frame has no successor motion: blur degenerates to clean.
+    np.testing.assert_allclose(np.asarray(blurred.frame(4)),
+                               np.asarray(clean.frame(4)), atol=1e-3)
