@@ -409,3 +409,25 @@ def test_phased_integration_matches_fused():
     for name, a, b in zip(out_m._fields, out_m, maker_p.map):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, err_msg=name)
+
+
+def test_adaptive_ba_chunk_sizing():
+    """Chunk iteration count fits the measured per-step EMA into
+    ba_latency_budget_ms, capped by ba_steps_per_pass, with a 1-step
+    probe before any measurement exists (round-4 latency work)."""
+    from ptam_cg_tpu.camera import atan
+
+    m = base_map()
+    cam = atan.make_camera((1.0, 1.0, 0.5, 0.5, 0.1), SIZE)
+    from ptam_cg_tpu.config import MapMakerConfig
+    maker = mm.MapMaker(m, cam, SIZE,
+                        MapMakerConfig(ba_latency_budget_ms=15.0,
+                                       ba_steps_per_pass=5))
+    assert maker._ba_step_ms is None
+    assert maker._chunk_steps() == 1          # probe
+    maker._ba_step_ms = 5.0
+    assert maker._chunk_steps() == 3          # 15/5
+    maker._ba_step_ms = 1.0
+    assert maker._chunk_steps() == 5          # capped by steps_per_pass
+    maker._ba_step_ms = 100.0
+    assert maker._chunk_steps() == 1          # never zero

@@ -78,3 +78,45 @@ def test_engine_grows_to_64_keyframes():
                             jnp.asarray(np.stack(gt)))
     span = np.linalg.norm(np.stack(gt).max(0) - np.stack(gt).min(0))
     assert ate < 0.03 * span, (ate, span)
+
+
+@pytest.mark.slow
+def test_engine_grows_to_128_keyframes():
+    """Full MAX_KEYFRAMES=128 capacity e2e (VERDICT r3 #2: 128-KF was
+    paper-only — nothing had ever driven the engine to the config cap).
+    Same slow-sweep trajectory as the 64-KF test with HALVED keyframe
+    spacing (wiggle_mult 0.05) — a full-circle loop at radius 1.0 was
+    tried first, but its far side views the mapped region too obliquely
+    and tracking (correctly) degrades there, stalling KF growth.
+    Frame headroom: scheduling is mildly load-dependent (the BA chunk
+    sizer measures wall time), so KF cadence varies a few frames/KF —
+    an unloaded run reaches 128 around frame ~413."""
+    n_frames = 560
+    seq = synth.SyntheticSequence(REF_PARAMS, image_size=SIZE,
+                                  n_frames=n_frames, seed=11, height=1.5,
+                                  radius=1.0, sweep=1.5)
+    cfg = EngineConfig(
+        camera=CameraConfig(params=REF_PARAMS, image_size=SIZE),
+        tracker=TrackerConfig(min_frames_between_kfs=2),
+        mapmaker=MapMakerConfig(candidate_min_shi_tomasi_score=70.0,
+                                max_kf_dist_wiggle_mult=0.05))
+    eng = engine_lib.SLAMEngine(cfg, image_size=SIZE, max_points=8192,
+                                max_kfs=128, auto_init_frames=5, seed=0)
+    n_kfs_seen = 0
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        for i in range(n_frames):
+            info = eng.process_frame(seq.frame(i))
+            n_kfs_seen = max(n_kfs_seen, info.n_kfs)
+            if n_kfs_seen >= 128 and i > 40:
+                break
+    assert n_kfs_seen >= 128, n_kfs_seen
+    assert info.stage == "TRACKING"
+    assert info.quality == 2, info.quality
+    # Points plateau (~480): at wiggle 0.05 the KF baselines are tiny,
+    # so epipolar candidates are thinned against existing measurements —
+    # the test's subject is KEYFRAME capacity, not map density.
+    assert info.n_points > 400, info.n_points
+    overflow = [w for w in wlist
+                if "capacity exceeded" in str(w.message)]
+    assert not overflow, [str(w.message) for w in overflow]
