@@ -78,12 +78,13 @@ def run_engine_bench(use_async: bool = False, n_frames: int = 240,
     eng.mapmaker._tier_p_floor = 2048
     eng.mapmaker._tier_m_floor = 8192
 
-    def prefetched():
-        nxt = jax.device_put(frames[0])
-        for i in range(n_frames):
+    def prefetched(seq=None):
+        seq = frames if seq is None else seq
+        nxt = jax.device_put(seq[0])
+        for i in range(len(seq)):
             cur = nxt
-            if i + 1 < n_frames:
-                nxt = jax.device_put(frames[i + 1])   # async
+            if i + 1 < len(seq):
+                nxt = jax.device_put(seq[i + 1])   # async
             yield i, cur
 
     def precompile_mapping_jobs():
@@ -156,6 +157,46 @@ def run_engine_bench(use_async: bool = False, n_frames: int = 240,
     log("# engine frame time " + fmt_stats(stats))
     for i, dt, akf, kfs in sorted(events, key=lambda e: -e[1])[:8]:
         log(f"#   spike f{i} {dt*1000:.1f}ms added_kf={akf} kfs={kfs}")
+
+    # ---- REAL-TIME latency pass (the reference's operating point) ----
+    # Frames arrive on a 30 Hz tick like a camera; per-frame latency is
+    # process_frame's return time. This is the mode the reference's
+    # video-rate envelope defines (doc/PTAM.txt:50-53) and the one the
+    # KF-latency target (p95 <= one 33 ms envelope frame) is judged at —
+    # the max-rate loop above measures THROUGHPUT, where queue-bound
+    # waits are inevitable by construction.
+    # Reversed sequence: the camera retraces its path, so the RT pass
+    # continues smoothly from the engine's current pose (a plain restart
+    # would teleport the camera back to frame 0 and force a reloc).
+    rt_times = []
+    rt_events = []
+    period = 1.0 / 30.0
+    next_tick = time.perf_counter()
+    for i, frame in prefetched(frames[::-1]):
+        now = time.perf_counter()
+        if now < next_tick:
+            time.sleep(next_tick - now)
+        next_tick = max(next_tick + period, time.perf_counter())
+        t1 = time.perf_counter()
+        info = eng.process_frame(frame)
+        dt = time.perf_counter() - t1
+        rt_times.append(dt)
+        rt_events.append((i, dt, info.added_kf, info.n_kfs))
+    from bench_common import STALL_THRESHOLD_S
+    rt = frame_stats(rt_times)
+    rt["n_kfs"] = int(info.n_kfs)
+    rt["worst_kf_adjacent_ms"] = round(max(
+        (d for i, d, akf, k in rt_events if akf), default=0.0) * 1e3, 2)
+    # Same metric with backend service hitches excluded (>1 s frames are
+    # remote-service stalls, not mapping work — mapping dispatches are
+    # latency-bounded to ~15-30 ms since round 4).
+    rt["worst_kf_adjacent_ex_stall_ms"] = round(max(
+        (d for i, d, akf, k in rt_events
+         if akf and d < 1.0), default=0.0) * 1e3, 2)
+    stats["realtime_30hz"] = rt
+    log("# engine RT-30Hz latency " + fmt_stats(rt))
+    for i, dt, akf, kfs in sorted(rt_events, key=lambda e: -e[1])[:6]:
+        log(f"#   rt spike f{i} {dt*1000:.1f}ms added_kf={akf} kfs={kfs}")
     eng.close()
     return stats
 

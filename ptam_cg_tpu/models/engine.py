@@ -16,7 +16,9 @@ The reference's spacebar-driven init is exposed both as an API
 from __future__ import annotations
 
 import enum
+import os
 import threading
+import time
 from typing import NamedTuple, Optional
 
 import jax
@@ -33,6 +35,9 @@ from ptam_cg_tpu.models import relocalizer as reloclib
 from ptam_cg_tpu.models import tracker as trklib
 from ptam_cg_tpu.utils import se3 as se3lib
 from ptam_cg_tpu.utils.se3 import SE3
+
+
+_DBG = bool(os.environ.get("PTAM_DEBUG_TIMING"))
 
 
 class Stage(enum.Enum):
@@ -167,6 +172,22 @@ class SLAMEngine:
         #: frame N-1 are made at frame N so the info read overlaps with
         #: device compute instead of stalling it.
         self._pending = None
+        #: Decision candidate awaiting readiness (see process_frame's
+        #: readiness-gated decision read).
+        self._decision_pending = None
+        #: Loosely-bounded dispatch pipeline: info vectors of recent
+        #: dispatched frames, completed entries popped for free each
+        #: frame. A caller feeding frames faster than the device rate
+        #: (max-rate benches, batch replay) grows the dispatch queue;
+        #: past the depth bound ONE blocking wait drains the backlog.
+        #: Chunky-rare beats smooth-per-frame here: on the networked
+        #: backend EVERY blocking sync costs ~20-30 ms regardless of
+        #: compute (a depth-4 per-frame pacing variant measured median
+        #: 33.6 ms vs 0.73 ms), so the bound trades one ~100-200 ms wait
+        #: per ~30 frames at max feed for zero cost at real camera
+        #: rates, where the device keeps up and the deque stays empty.
+        self._inflight = __import__("collections").deque()
+        self._pipeline_depth = 32
         self._prev_sbi_track = None
         self._n_points_host = 0
         self.decision_interval = max(1, int(decision_interval))
@@ -265,6 +286,8 @@ class SLAMEngine:
         self.frames_since_kf = 0
         self.newest_kf = None
         self._pending = None
+        self._decision_pending = None
+        self._inflight.clear()
         self._prev_sbi_track = None
         self._n_points_host = 0
         self._frames_since_decision = 0
@@ -355,17 +378,39 @@ class SLAMEngine:
                     added_kf=False, relocalized=False)
             st = self.tracker_state
 
-            # ---- deferred decisions for the LATEST pending frame -------
+            # ---- deferred decisions -----------------------------------
             # Every blocking device read costs ~20 ms on a networked
-            # backend, so the decision scalars are read only every
-            # ``decision_interval`` frames (lag-bounded decisions).
+            # backend — and when mapping jobs are in flight the read
+            # also pays the whole accumulated dispatch backlog (round-4
+            # measurement: the every-8th-frame blocking read WAS the
+            # engine's p95 at ~107 ms). So with decision_interval > 1
+            # the read is READINESS-GATED: when a decision is due, the
+            # newest pending frame becomes the decision CANDIDATE and is
+            # read once its info vector has landed (it ages while newer
+            # frames keep dispatching), blocking only past a hard
+            # staleness cap of 4 intervals. decision_interval == 1 keeps
+            # the strict same-cadence blocking read (CPU / local
+            # backends).
             p = self._pending
             self.frames_since_kf += 1
             self._frames_since_decision += 1
-            if p is not None and (self._frames_since_decision
-                                  >= self.decision_interval):
+            if (self._decision_pending is None and p is not None
+                    and self._frames_since_decision
+                    >= self.decision_interval):
+                self._decision_pending = p
+            dp = self._decision_pending
+            force = (self.decision_interval == 1
+                     or self._frames_since_decision
+                     >= 4 * self.decision_interval)
+            if dp is not None and (force or dp["info"].is_ready()):
+                self._decision_pending = None
+                p = dp
                 self._frames_since_decision = 0
+                _t0 = time.perf_counter()
                 pinfo = np.asarray(p["info"])   # the one blocking read
+                if _DBG:
+                    print(f"#dbg f{self.frame_idx} read={1e3*(time.perf_counter()-_t0):.1f}ms forced={force}",
+                          file=__import__('sys').stderr)
                 (quality, lost, n_found, need_kf,
                  self._n_points_host) = (int(x) for x in pinfo)
                 self._last_quality = quality
@@ -408,21 +453,30 @@ class SLAMEngine:
                         self.mapmaker.map = self.map
                     # Keyframes need the full build (nonmax + candidates
                     # for epipolar expansion) — MakeKeyFrame_Rest.
+                    _t1 = time.perf_counter()
                     kf_features = self._build(p["im"])
+                    _t2 = time.perf_counter()
                     pst = p["out"].state
                     self.mapmaker.add_keyframe(
                         kf_features, pst.pose, meas,
                         pst.depth_mean, pst.depth_sigma)
                     self.frames_since_kf = 0
                     added_kf = True
+                    if _DBG:
+                        print(f"#dbg f{self.frame_idx} build={1e3*(_t2-_t1):.1f}ms addkf={1e3*(time.perf_counter()-_t2):.1f}ms",
+                              file=__import__('sys').stderr)
 
             # ---- dispatch THIS frame (build+track fused, no sync) ------
             if self._wiggle_val != self.mapmaker.wiggle_depth_norm:
                 self._wiggle_val = self.mapmaker.wiggle_depth_norm
                 self._wiggle_dev = jnp.float32(self._wiggle_val)
+            _t3 = time.perf_counter()
             fo, new_inl, new_outl, info = self._step_track(
                 st, self.map, im, self._prev_sbi_track,
                 self._wiggle_dev)
+            if _DBG and time.perf_counter() - _t3 > 0.01:
+                print(f"#dbg f{self.frame_idx} track_dispatch={1e3*(time.perf_counter()-_t3):.1f}ms",
+                      file=__import__('sys').stderr)
             self.tracker_state = fo.state
             self._prev_sbi_track = fo.sbi_track
 
@@ -454,6 +508,15 @@ class SLAMEngine:
             # networked backend even for completed values).
             info.copy_to_host_async()
             self._pending = dict(im=im, out=fo, info=info)
+            self._inflight.append(info)
+            if len(self._inflight) > self._pipeline_depth:
+                # Chunky drain: ONE wait on the oldest entry (at camera
+                # rates it has long since landed — the wait is free),
+                # then forget the rest; no per-frame is_ready polls (a
+                # poll on a PENDING array is a remote round trip here).
+                old = self._inflight.popleft()
+                self._inflight.clear()
+                old.block_until_ready()
 
             if self.async_mapping:
                 # Nudge the mapping thread; tracking continues on the
@@ -461,9 +524,13 @@ class SLAMEngine:
                 self._mapping_wake.set()
             else:
                 # Synchronous: one mapping priority step per frame.
+                _t4 = time.perf_counter()
                 self.mapmaker.map = self.map
                 slot = self.mapmaker.step(self.newest_kf)
                 self.map = self.mapmaker.map
+                if _DBG and time.perf_counter() - _t4 > 0.01:
+                    print(f"#dbg f{self.frame_idx} mapstep={1e3*(time.perf_counter()-_t4):.1f}ms",
+                          file=__import__('sys').stderr)
                 if slot is not None:
                     self.newest_kf = slot
 

@@ -849,6 +849,15 @@ class MapMaker:
         #: In-flight phased integration: {"phase": i, "slot": dev,
         #: "tot": dev} — advanced one dispatch per scheduler pass.
         self._integrate_job = None
+        #: Backpressure marker: one output leaf of the most recent
+        #: mapping dispatch. step() skips issuing a new mapping job
+        #: while it hasn't landed, so the device queue never holds more
+        #: than ~one mapping program + the tracking pipeline — without
+        #: this, a max-rate frame feed accumulates hundreds of ms of
+        #: dispatch backlog that the (rare) forced decision read then
+        #: pays in one blocking hit (round-4 measurement: 300 ms
+        #: KF-frame spikes from exactly this).
+        self._last_dispatch = None
         self._jit_refind_all = pinned(
             lambda m_, mask2d: refind_all_kfs(m_, mask2d, cam, image_size))
         # Span-scan variant: the same lax.scan over a 16-slot index
@@ -939,6 +948,11 @@ class MapMaker:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _note_dispatch(self, arr):
+        """Record one output leaf of a mapping dispatch for the
+        scheduler's backpressure gate (see _last_dispatch)."""
+        self._last_dispatch = arr
+
     def queue_size(self) -> int:
         return len(self.kf_queue)
 
@@ -998,6 +1012,7 @@ class MapMaker:
         # first chunk poll together with the chunk flags) — never a
         # blocking read in the frame loop.
         counts.copy_to_host_async()
+        self._note_dispatch(counts)
         self._ba_job = dict(mk=mk, mp=mp, cam_idx=cam_idx, pt_idx=pt_idx,
                             adjust=adjust_kf, pmask=point_mask,
                             recent=recent, full=full, flags=None,
@@ -1053,6 +1068,7 @@ class MapMaker:
         job["flags"] = flags
         job["iters_before"] = job.get("iters_done", 0)
         job["t_dispatch"] = time.perf_counter()
+        self._note_dispatch(flags)
 
     def _ba_poll(self, block: bool = False):
         """Advance the in-flight BA job. Returns True while busy."""
@@ -1136,6 +1152,7 @@ class MapMaker:
             self.map, prob, job["mk"], job["mp"],
             job["adjust"], job["pmask"], self.failure_mask,
             job["cam_idx"], job["pt_idx"])
+        self._note_dispatch(self.map.point_pos)
         self._failures_pending = True
         self._map_dirty = True
         if accepted > 0:
@@ -1203,6 +1220,7 @@ class MapMaker:
         task = self._refind_task
         self.map, _ = self._jit_refind_span(
             self.map, task["mask2d"], self._span_ks[task["i"]])
+        self._note_dispatch(self.map.point_pos)
         task["i"] += 1
         if task["i"] >= len(self._span_ks):
             self._refind_task = None
@@ -1239,6 +1257,7 @@ class MapMaker:
         if not self._map_dirty:
             return
         self.map = self._jit_gc(self.map)
+        self._note_dispatch(self.map.point_valid)
         self._map_dirty = False
 
     def mark_dirty(self):
@@ -1276,6 +1295,7 @@ class MapMaker:
         self._n_kfs_host += 1
         self._integrate_job = dict(slot=slot, tot=self._zero_i32,
                                    phase=0)
+        self._note_dispatch(slot)
         self.converged_recent = False
         self.converged_full = False
         return None
@@ -1291,12 +1311,14 @@ class MapMaker:
                 self._jit_int_epi[lev](self.map, job["slot"],
                                        self.new_point_mask, job["tot"])
             job["phase"] = ph + 1
+            self._note_dispatch(job["tot"])
         else:
             self.map, self.new_point_mask, slot_n = self._jit_int_final(
                 self.map, job["slot"], self.new_point_mask, job["tot"])
             slot_n.copy_to_host_async()
             self._pending_integrate = slot_n
             self._integrate_job = None
+            self._note_dispatch(slot_n)
 
     def integrate_keyframe(self):
         """Run a full keyframe integration with ALL phases dispatched
@@ -1368,41 +1390,71 @@ class MapMaker:
         in five bounded phases."""
         if self.reset_requested or not self.good_host:
             return
-        # Land a deferred KF integration read first; while its control
-        # read is in flight (~one frame) nothing else runs.
+        # Backpressure: while the previous mapping program is still
+        # executing, issue nothing — the device queue stays ~one mapping
+        # job deep and blocking reads never pay a long backlog.
+        if self._last_dispatch is not None:
+            if not self._last_dispatch.is_ready():
+                if self._pending_integrate is not None:
+                    return self._drain_integrate()
+                return None
+            self._last_dispatch = None
+        # Land a deferred KF integration read first (a host read, not a
+        # dispatch — the pass can still issue one dispatch below).
+        ret = None
         if self._pending_integrate is not None:
-            return self._drain_integrate()
-        # An in-flight phased integration owns the pass.
+            ret = self._drain_integrate()
+            if ret is None:
+                return None   # control read still in flight
+        # An in-flight phased integration owns the pass. Pressure-
+        # adaptive: queued keyframes accelerate phase advancement
+        # (latency bound matters in steady state; throughput matters
+        # when the map is growing fast and KFs queue up).
         if self._integrate_job is not None:
-            self._integrate_advance()
-            return
+            for _ in range(1 + len(self.kf_queue)):
+                if self._integrate_job is None:
+                    break
+                self._integrate_advance()
+            return ret
         if self._ba_job is not None:
             # Advance (or finalize/abort) the in-flight BA; nothing else
             # runs while BA owns the map — except KF integration after
             # an abort finalizes.
             if self._ba_poll():
-                return
+                return ret
             if self.kf_queue:
-                return self._integrate_start()
-            return
+                self._integrate_push()
+            return ret
         if self.kf_queue:
-            return self._integrate_start()
+            self._integrate_push()
+            return ret
         if not self.converged_recent and newest_kf is not None:
             self.bundle_adjust_recent(newest_kf, start_only=True)
-            return
+            return ret
         # An in-flight span-refind task owns the pass.
         if self._refind_task is not None:
             self._refind_advance()
-            return
+            return ret
         if self.converged_recent and self._new_points_pending:
             self.refind_newly_made(spread=True)
-            return
+            return ret
         if self.converged_recent and not self.converged_full:
             self.bundle_adjust_all(start_only=True)
-            return
+            return ret
         if self.converged_recent and self.converged_full \
                 and self._failures_pending \
                 and self._rng.integers(20) == 0:
             self.refind_from_failure_queue(spread=True)
-            return
+            return ret
         self.handle_bad_points()
+        return ret
+
+    def _integrate_push(self):
+        """Start the next queued integration; under queue pressure also
+        advance extra phases this pass (throughput over latency when
+        keyframes are arriving faster than one phase per frame)."""
+        self._integrate_start()
+        for _ in range(len(self.kf_queue)):
+            if self._integrate_job is None:
+                break
+            self._integrate_advance()
