@@ -64,9 +64,12 @@ def run_engine_bench(use_async: bool = False, n_frames: int = 240,
     # in tests/test_async_mapping.py) cannot be exercised on this
     # backend. Mapping syncs are batched instead (BA chunk flags packed
     # into one read; decision_interval).
+    # Growth with per-frame decisions (KF adds are capped at one per
+    # decision read; at the 30 Hz paced feed the reads are ~free); the
+    # timed window switches to the pipelined interval=8.
     eng = engine_lib.SLAMEngine(cfg, image_size=size, max_points=4096,
                                 max_kfs=16, auto_init_frames=6, seed=0,
-                                decision_interval=8,
+                                decision_interval=1,
                                 async_mapping=use_async)
     # Pin the BA size tiers to this run's peak (16 KFs / <2048 pts /
     # <8192 meas): tier floors ratchet, so pinning them up front means
@@ -122,17 +125,28 @@ def run_engine_bench(use_async: bool = False, n_frames: int = 240,
         ff = eng._build_track(jax.device_put(frames[0]))
         jax.block_until_ready(eng._reloc(eng.map, ff.sbi).pose.t)
 
-    # Warmup: a full half-sequence (init + keyframe integrations + BA),
-    # then a forced compile of every remaining mapping job type.
+    # Warmup: a full half-sequence (init + keyframe integrations + BA)
+    # at the camera's 30 Hz — an unthrottled feed would land decision
+    # reads only at pipeline-drain cadence and grow the map ~4x slower
+    # (see engine._inflight) — then a forced compile of every remaining
+    # mapping job type. The measured window stays max-rate.
     warm = n_frames // 2
     t_warm0 = time.perf_counter()
     times = []
     events = []   # (i, dt, added_kf, kfs) for spike attribution
     t0 = None
+    period = 1.0 / 30.0
+    next_tick = time.perf_counter()
     for i, frame in prefetched():
+        if i < warm:
+            now = time.perf_counter()
+            if now < next_tick:
+                time.sleep(next_tick - now)
+            next_tick = max(next_tick + period, time.perf_counter())
         t1 = time.perf_counter()
         info = eng.process_frame(frame)
         if i == warm - 1:
+            eng.decision_interval = 8
             precompile_mapping_jobs()
             log(f"# warmup: {warm} frames in "
                 f"{time.perf_counter() - t_warm0:.1f}s, "

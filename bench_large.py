@@ -34,7 +34,7 @@ def main():
     size = (640, 480)
     params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
     n_frames = 330
-    warm = 230          # map reaches 64 KFs around frame ~200
+    warm = 280          # ~4.3 frames/KF through the phased pipeline
     seq = synth.SyntheticSequence(params, image_size=size,
                                   n_frames=n_frames, seed=11, height=1.5,
                                   radius=1.0, sweep=1.5)
@@ -46,9 +46,15 @@ def main():
         tracker=TrackerConfig(min_frames_between_kfs=2),
         mapmaker=MapMakerConfig(candidate_min_shi_tomasi_score=100.0,
                                 max_kf_dist_wiggle_mult=0.12))
+    # Growth phase runs with per-frame decisions (a keyframe can be
+    # added at most once per decision read, so interval=8 caps growth
+    # at 1 KF / 8 frames and the map stalls near 28 KFs; at the 30 Hz
+    # paced feed the async-copied info lands during the inter-frame
+    # idle, so interval=1 reads are ~free). The timed window switches
+    # to the pipelined interval=8.
     eng = engine_lib.SLAMEngine(cfg, image_size=size, max_points=8192,
                                 max_kfs=64, auto_init_frames=6, seed=0,
-                                decision_interval=8)
+                                decision_interval=1)
     mm = eng.mapmaker
     # Pin BA tiers at the peak so the whole run uses ONE compiled shape
     # per job (see README "Performance notes").
@@ -64,10 +70,25 @@ def main():
                 nxt = jax.device_put(frames[i + 1])
             yield i, cur
 
+    # GROWTH phase runs at the camera's 30 Hz (the product scenario):
+    # at an unthrottled feed the engine's decision reads land only at
+    # pipeline-drain cadence (~1 per 32 frames, by design — see
+    # engine._inflight), so the map would grow an order of magnitude
+    # slower than at real-time rates and the bench would no longer
+    # measure a 64-KF map (round-4 measurement: 9 KFs after 230
+    # max-rate frames vs 49+ paced). The MEASURED window after warmup
+    # stays max-rate (throughput + latency percentiles).
     times = []
     t0 = None
+    period = 1.0 / 30.0
+    next_tick = time.perf_counter()
     t_warm0 = time.perf_counter()
     for i, frame in prefetched():
+        if i < warm:
+            now = time.perf_counter()
+            if now < next_tick:
+                time.sleep(next_tick - now)
+            next_tick = max(next_tick + period, time.perf_counter())
         t1 = time.perf_counter()
         info = eng.process_frame(frame)
         if i == warm - 1:
@@ -76,6 +97,7 @@ def main():
                   f"stage={info.stage} pts={info.n_points} "
                   f"kfs={info.n_kfs}", file=sys.stderr)
             assert info.stage == "TRACKING", info
+            eng.decision_interval = 8
             t0 = time.perf_counter()
         elif i >= warm:
             times.append(time.perf_counter() - t1)
