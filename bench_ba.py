@@ -88,6 +88,10 @@ def northstar():
     kind = mest.estimator_id(cfg.mestimator)
     motion = (0.002, 0.0005)   # keep a 500-camera trajectory sane
 
+    if "--tpu-only" in sys.argv:
+        _northstar_tpu(C, P, M, cfg, motion)
+        return
+
     # ---- (a0) equal-results: sharded vs single-device at C=500, 10x
     # smaller P/M (the at-scale equality is proven at C=128/P=16k/M=64k
     # by tests/test_sharded_ba.py; this adds the C=500 camera-system
@@ -148,20 +152,40 @@ def northstar():
     # ---- (b) single-device on the real TPU ----------------------------
     if "--cpu-only" in sys.argv:
         return
+    _northstar_tpu(C, P, M, cfg, motion)
+
+
+def _northstar_tpu(C, P, M, cfg, motion):
+    import jax
+    import jax.numpy as jnp
+
+    from ptam_cg_tpu.models import bundle
+
     dev = jax.devices()[0]
     prob, cam = make_problem(C, P, M, seed=4, motion=motion)
     prob = jax.device_put(prob, dev)
+    # Time PER INNER LM ITERATION with standalone jitted steps. Two
+    # measurement hazards found round 4: (a) one lm_step CALL runs a
+    # variable number of inner lambda retries, so per-call numbers can
+    # overstate arbitrarily; (b) the while_loop-of-steps CHUNK program
+    # is ~10x slower per iteration at THIS scale (4.3 s vs 0.43 s —
+    # double-buffered ~1.7 GB loop-carried state appears to force
+    # spills), while at product scales (64 KF) the chunk costs only
+    # ~25% over the raw step. The chunk stays the product dispatch
+    # (non-blocking abort polling needs it); this records the compute.
     step = jax.jit(lambda s: bundle.lm_step(s, cam, cfg))
     state = bundle.init_lm(prob, cfg)
     t0 = time.perf_counter()
     state = step(state)
     state.problem.pt_pos.block_until_ready()
     compile_s = time.perf_counter() - t0
+    it0 = int(state.iters)
     t0 = time.perf_counter()
-    for _ in range(3):
+    for _ in range(5):
         state = step(state)
     state.problem.pt_pos.block_until_ready()
-    dt = (time.perf_counter() - t0) / 3
+    dt = time.perf_counter() - t0
+    n_inner = max(int(state.iters) - it0, 1)
     stats = {}
     try:
         stats = dev.memory_stats() or {}
@@ -171,12 +195,14 @@ def northstar():
     rms4 = float(jax.jit(bundle.residual_rms)(state.problem, cam))
     print(json.dumps({
         "metric": "northstar_ba_tpu1_step_ms",
-        "value": round(dt * 1000, 1),
-        "unit": "ms/LM-step (1 TPU, C=500 P=50k M=500k)",
+        "value": round(dt / n_inner * 1000, 1),
+        "unit": "ms/inner-LM-iteration (1 TPU, C=500 P=50k M=500k)",
         "vs_baseline": None,
-        "compile_plus_first_step_s": round(compile_s, 1),
+        "inner_iters_timed": n_inner,
+        "compile_plus_first_s": round(compile_s, 1),
         "peak_hbm_gb": round(peak_gb, 2),
-        "rms_after_4": round(rms4, 3),
+        "rms_after": round(rms4, 3),
+        "converged": bool(state.converged),
         "failed": bool(state.failed),
     }))
     print(f"# analytic: dense W blocks {P*C*18*4/2**30:.2f} GB; "

@@ -186,15 +186,70 @@ def _accumulators(prob: BundleProblem, cam: atan.Camera, sigma_sq: Array,
     Beps = jnp.einsum("mia,mi->ma", B, eps_w)                    # (M, 3)
     Veb = jnp.zeros((P, 12)).at[prob.meas_pt].add(
         jnp.concatenate([BtB, Beps], axis=-1), mode="drop")
-    V = Veb[:, :9].reshape(P, 3, 3)
+    V9 = Veb[:, :9]                                              # (P, 9)
     eb = Veb[:, 9:]
 
     # Dense per-(point, cam) W blocks: the off-diag scripts, vectorized
-    # (ref: src/Bundle.cc:328-331, 572-599).
+    # (ref: src/Bundle.cc:328-331, 572-599), stored P-MINORMOST as a
+    # flat (18C, P) matrix (row = (cam, a, b)). Round-4 finding: any
+    # W-shaped tensor with a trailing (6, 3) or (..., 3) dim gets tile-
+    # padded to (8, 128) lanes by TPU layout — a 28-57x memory blowup
+    # that OOM'd the C=500/P=50k north star at 51 GB for a 1.8 GB
+    # logical tensor. With P minormost every W-chain buffer is pad-free.
     Wm = jnp.einsum("mia,mib->mab", A, B)                        # (M, 6, 3)
-    Wfull = jnp.zeros((P, C, 6, 3)).at[prob.meas_pt, prob.meas_cam].add(
-        Wm, mode="drop")
-    return U, ea, V, eb, Wfull, err, new_bad, good
+    rows = (prob.meas_cam[:, None] * 18
+            + jnp.arange(18, dtype=prob.meas_cam.dtype)[None])  # (M, 18)
+    W2d = jnp.zeros((C * 18, P)).at[rows, prob.meas_pt[:, None]].add(
+        Wm.reshape(M, 18), mode="drop")
+    return U, ea, V9, eb, W2d, err, new_bad, good
+
+
+def _vinv_cols(V9: Array, lam) -> Array:
+    """Per-point inverse of Vstar = V with the lambda-augmented diagonal
+    (ref: src/Bundle.cc:341-359), computed column-wise with P minormost.
+
+    ``V9``: (P, 9) row-major 3x3 blocks. Returns (3, 3, P) indexed
+    [row a, col b, p], zeroed where V is rank-deficient (any zero
+    diagonal product — same guard as the (P,3,3) path)."""
+    d = 1.0 + lam
+    a = [V9[:, k] for k in range(9)]
+    diag_prod = a[0] * a[4] * a[8]
+    a00 = a[0] * d + 1e-12
+    a01, a02 = a[1], a[2]
+    a10 = a[3]
+    a11 = a[4] * d + 1e-12
+    a12 = a[5]
+    a20, a21 = a[6], a[7]
+    a22 = a[8] * d + 1e-12
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c10 + a02 * c20
+    inv_det = jnp.where((jnp.abs(det) < 1e-30) | (diag_prod == 0.0),
+                        0.0, 1.0 / jnp.where(det == 0.0, 1.0, det))
+    return jnp.stack([jnp.stack([c00, c01, c02]),
+                      jnp.stack([c10, c11, c12]),
+                      jnp.stack([c20, c21, c22])]) * inv_det
+
+
+def _wv_product(W2d: Array, Vi: Array, C6: int, P: int) -> Array:
+    """WV = W @ V^-1 per point, all P-minormost: (C6, 3P) from the flat
+    (18C, P) W and the (3, 3, P) Vinv — nine (C6, P) fused
+    multiply-adds, no transposes, no padded intermediates."""
+    W3 = W2d.reshape(C6, 3, P)
+    cols = []
+    for dcol in range(3):
+        acc = W3[:, 0, :] * Vi[0, dcol][None]
+        acc = acc + W3[:, 1, :] * Vi[1, dcol][None]
+        acc = acc + W3[:, 2, :] * Vi[2, dcol][None]
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=1)                  # (C6, 3P)
 
 
 def lm_step(state: LMState, cam: atan.Camera,
@@ -231,11 +286,12 @@ def _lm_step_impl(state: LMState, cam: atan.Camera,
                                        min_sigma=cfg.min_sigma)
 
     # ---- (ii) jacobians + accumulators ----------------------------------
-    U, ea, V, eb, Wfull, current_error, new_bad, good = _accumulators(
+    U, ea, V9, eb, W2d, current_error, new_bad, good = _accumulators(
         prob, cam, sigma_sq, cfg, mest_kind)
-    # Loop-invariant matrix view of W for the vec-mat contractions (rhs,
-    # corr back-substitution); XLA hoists this copy out of the lambda loop.
-    W_m = Wfull.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
+    # Loop-invariant (C6, 3P) matrix view of the flat W (free reshape —
+    # P-minormost, see _accumulators' layout note).
+    W_m = W2d.reshape(C * 6, 3 * P)
+    ebT = eb.T                                            # (3, P)
 
     free = prob.cam_valid & ~prob.cam_fixed               # (C,)
     free_f = free.astype(jnp.float32)
@@ -244,26 +300,20 @@ def _lm_step_impl(state: LMState, cam: atan.Camera,
     def try_lambda(carry):
         lam, lam_factor, _, _, _, n_inner, _conv, _upd = carry
 
-        # V* inverse with lambda-augmented diagonal
+        # V* inverse with lambda-augmented diagonal, P-minormost
         # (ref: src/Bundle.cc:341-359; zero if V is rank-deficient).
-        Vstar = V * (jnp.ones((3, 3)) + lam * jnp.eye(3))
-        diag_prod = V[:, 0, 0] * V[:, 1, 1] * V[:, 2, 2]
-        Vinv = patchops.inv3x3(Vstar + 1e-12 * jnp.eye(3))
-        Vinv = jnp.where((diag_prod == 0.0)[:, None, None], 0.0, Vinv)
+        Vi = _vinv_cols(V9, lam)                          # (3, 3, P)
 
         # S diag + off-diag in one shot: S = U* - sum_p W V^-1 W^T.
-        # WV is a batch-p dot (no layout change); the (p, d) contraction
-        # runs as ONE MXU dot on re-layouted matrix views (the einsum
-        # form lowered to a 1.75 ms VPU multiply-reduce).
-        WV = jnp.einsum("pcab,pbd->pcad", Wfull, Vinv)    # (P, C, 6, 3)
-        Pn = Vinv.shape[0]
-        WV_m = WV.transpose(1, 2, 0, 3).reshape(C * 6, Pn * 3)
+        # WV is nine (C6, P) FMAs; the (p, d) contraction runs as ONE
+        # MXU dot on the flat matrix views.
+        WV_m = _wv_product(W2d, Vi, C * 6, P)             # (C6, 3P)
         S_off = (WV_m @ W_m.T).reshape(C, 6, C, 6)        # (C,6,C,6)
         Ustar = U * (jnp.ones((6, 6)) + lam * jnp.eye(6))
         S = -S_off
         S = S + jnp.einsum("jab,jk->jakb", Ustar,
                            jnp.eye(C))                    # add diag blocks
-        rhs = ea - (WV_m @ eb.reshape(-1)).reshape(C, 6)
+        rhs = ea - (WV_m @ ebT.reshape(-1)).reshape(C, 6)
 
         # Fixed/invalid cameras: identity block, zero rhs.
         blk = free_f[:, None, None, None] * free_f[None, None, :, None]
@@ -281,9 +331,12 @@ def _lm_step_impl(state: LMState, cam: atan.Camera,
         delta_cam = delta_cam * free_f[:, None]
 
         # Back-substitute point updates (ref: src/Bundle.cc:461-483);
-        # one (C*6) @ (C*6, P*3) vec-mat in the shared W layout.
-        corr = (delta_cam.reshape(-1) @ W_m).reshape(Pn, 3)
-        delta_pt = jnp.einsum("pab,pb->pa", Vinv, eb - corr)
+        # one (C*6) @ (C*6, 3P) vec-mat in the shared flat W layout.
+        corr = (delta_cam.reshape(-1) @ W_m).reshape(3, P)
+        rb = ebT - corr                                   # (3, P)
+        delta_pt = jnp.stack(
+            [Vi[a, 0] * rb[0] + Vi[a, 1] * rb[1] + Vi[a, 2] * rb[2]
+             for a in range(3)], axis=1)                  # (P, 3)
         delta_pt = delta_pt * prob.pt_valid[:, None]
 
         upd_sq = jnp.sum(delta_cam ** 2) + jnp.sum(delta_pt ** 2)

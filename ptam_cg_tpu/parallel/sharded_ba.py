@@ -214,33 +214,31 @@ def _sharded_step_body(state: LMState, cam: atan.Camera,
 
     # Per-shard accumulators; only the camera-sized U/ea (and the
     # error scalar) are completed over the mesh. V/eb/W stay local.
-    (U, ea, V, eb, Wfull, err_local, new_bad,
+    (U, ea, V9, eb, W2d, err_local, new_bad,
      good) = bundlelib._accumulators(local, cam, sigma_sq, cfg,
                                      mest_kind)
     U = jax.lax.psum(U, axis)
     ea = jax.lax.psum(ea, axis)
     current_error = jax.lax.psum(err_local, axis)
 
-    # Loop-invariant matrix view of the LOCAL W blocks (see
-    # models/bundle.py lowering notes — XLA hoists this copy).
-    W_m = Wfull.transpose(1, 2, 0, 3).reshape(C * 6, Pl * 3)
+    # Loop-invariant (C6, 3Pl) view of the LOCAL flat W (P-minormost —
+    # see bundle._accumulators' layout note; trailing tiny dims would
+    # tile-pad 28-57x).
+    W_m = W2d.reshape(C * 6, 3 * Pl)
+    ebT = eb.T                                            # (3, Pl)
     free = prob.cam_valid & ~prob.cam_fixed
     free_f = free.astype(jnp.float32)
 
     def try_lambda(carry):
         lam, lam_factor, _, _, _, n_inner, _c, _u = carry
-        Vstar = V * (jnp.ones((3, 3)) + lam * jnp.eye(3))
-        diag_prod = V[:, 0, 0] * V[:, 1, 1] * V[:, 2, 2]
-        Vinv = patchops.inv3x3(Vstar + 1e-12 * jnp.eye(3))
-        Vinv = jnp.where((diag_prod == 0.0)[:, None, None], 0.0, Vinv)
+        Vi = bundlelib._vinv_cols(V9, lam)                # (3, 3, Pl)
 
         # Partial reduced camera system from this point shard,
         # completed with ONE (6C)^2 psum — communication independent
         # of P and M (the whole point of this module).
-        WV = jnp.einsum("pcab,pbd->pcad", Wfull, Vinv)
-        WV_m = WV.transpose(1, 2, 0, 3).reshape(C * 6, Pl * 3)
+        WV_m = bundlelib._wv_product(W2d, Vi, C * 6, Pl)
         S_off = jax.lax.psum(WV_m @ W_m.T, axis).reshape(C, 6, C, 6)
-        corr_rhs = jax.lax.psum(WV_m @ eb.reshape(-1), axis)
+        corr_rhs = jax.lax.psum(WV_m @ ebT.reshape(-1), axis)
         Ustar = U * (jnp.ones((6, 6)) + lam * jnp.eye(6))
         S = -S_off + jnp.einsum("jab,jk->jakb", Ustar, jnp.eye(C))
         rhs = ea - corr_rhs.reshape(C, 6)
@@ -260,8 +258,11 @@ def _sharded_step_body(state: LMState, cam: atan.Camera,
 
         # Back-substitution is local to the point shard
         # (ref: src/Bundle.cc:461-483).
-        corr = (delta_cam.reshape(-1) @ W_m).reshape(Pl, 3)
-        delta_pt = jnp.einsum("pab,pb->pa", Vinv, eb - corr)
+        corr = (delta_cam.reshape(-1) @ W_m).reshape(3, Pl)
+        rb = ebT - corr
+        delta_pt = jnp.stack(
+            [Vi[a, 0] * rb[0] + Vi[a, 1] * rb[1] + Vi[a, 2] * rb[2]
+             for a in range(3)], axis=1)                  # (Pl, 3)
         delta_pt = delta_pt * prob.pt_valid[:, None]
         upd_sq = (jnp.sum(delta_cam ** 2)
                   + jax.lax.psum(jnp.sum(delta_pt ** 2), axis))
