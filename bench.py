@@ -177,8 +177,11 @@ def main():
     iter_t = np.asarray(iter_t)
     stalls = int((iter_t > STALL_THRESHOLD_S).sum())
     stall_s = float(iter_t[iter_t > STALL_THRESHOLD_S].sum())
-    # Ex-stall throughput: total minus stalled time over the same frames.
-    dt = (total - stall_s) / iters
+    # Ex-stall throughput: stalled time AND stalled iterations both
+    # removed (ADVICE r4: dividing adjusted time by ALL iters counted
+    # stalled frames as zero-cost work, slightly overstating the
+    # headline). Matches bench_common.frame_stats' ex_stall semantics.
+    dt = (total - stall_s) / max(iters - stalls, 1)
     fps = 1.0 / dt
     fps_as_printed = iters / total
     n_found = int(jnp.sum(out.result.meas_valid))
@@ -190,6 +193,9 @@ def main():
         "vs_baseline": round(fps / 30.0, 2),   # ref video-rate envelope
         "stalls": stalls,
         "stall_total_s": round(stall_s, 2),
+        # The headline "value" is the EX-STALL fps (stalled iterations
+        # and their wall time both excluded); the raw number is below.
+        "value_is_ex_stall": True,
         "fps_as_printed": round(fps_as_printed, 2),
     }
     print(f"# n_found={n_found} map_points={n} "

@@ -159,7 +159,8 @@ def _northstar_tpu(C, P, M, cfg, motion):
     import jax
     import jax.numpy as jnp
 
-    from ptam_cg_tpu.models import bundle
+    from ptam_cg_tpu.models import bundle, mapmaker
+    from ptam_cg_tpu.utils import mest
 
     dev = jax.devices()[0]
     prob, cam = make_problem(C, P, M, seed=4, motion=motion)
@@ -171,8 +172,10 @@ def _northstar_tpu(C, P, M, cfg, motion):
     # is ~10x slower per iteration at THIS scale (4.3 s vs 0.43 s —
     # double-buffered ~1.7 GB loop-carried state appears to force
     # spills), while at product scales (64 KF) the chunk costs only
-    # ~25% over the raw step. The chunk stays the product dispatch
-    # (non-blocking abort polling needs it); this records the compute.
+    # ~25%. Round 5: MapMaker._ba_dispatch_chunk therefore switches to
+    # single-step dispatches above BA_CHUNK_W_BYTES_LIMIT — the PRODUCT
+    # program at this scale is bundle._cached_lm_step_flags, measured
+    # below alongside the standalone step (VERDICT r4 #1).
     step = jax.jit(lambda s: bundle.lm_step(s, cam, cfg))
     state = bundle.init_lm(prob, cfg)
     t0 = time.perf_counter()
@@ -193,9 +196,30 @@ def _northstar_tpu(C, P, M, cfg, motion):
         pass
     peak_gb = stats.get("peak_bytes_in_use", 0) / 2**30
     rms4 = float(jax.jit(bundle.residual_rms)(state.problem, cam))
+
+    # --- PRODUCT dispatch path at this scale: the per-step+flags
+    # program MapMaker._ba_dispatch_chunk selects (the caps here are
+    # C->512 / P->65536, far past BA_CHUNK_W_BYTES_LIMIT).
+    assert mapmaker.ba_use_single_step(512, 65536)
+    kind = mest.estimator_id(cfg.mestimator)
+    stepf = bundle._cached_lm_step_flags(cfg, kind)
+    pstate = bundle.init_lm(jax.device_put(prob, dev), cfg)
+    pstate, flags = stepf(pstate, cam)       # compile + first step
+    jax.block_until_ready(flags)
+    pit0 = int(pstate.iters)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        pstate, flags = stepf(pstate, cam)
+        flags.copy_to_host_async()           # what the scheduler does
+    pstate.problem.pt_pos.block_until_ready()
+    pdt = time.perf_counter() - t0
+    p_inner = max(int(pstate.iters) - pit0, 1)
+    product_ms = pdt / p_inner * 1000
+    standalone_ms = dt / n_inner * 1000
+
     print(json.dumps({
         "metric": "northstar_ba_tpu1_step_ms",
-        "value": round(dt / n_inner * 1000, 1),
+        "value": round(standalone_ms, 1),
         "unit": "ms/inner-LM-iteration (1 TPU, C=500 P=50k M=500k)",
         "vs_baseline": None,
         "inner_iters_timed": n_inner,
@@ -204,6 +228,8 @@ def _northstar_tpu(C, P, M, cfg, motion):
         "rms_after": round(rms4, 3),
         "converged": bool(state.converged),
         "failed": bool(state.failed),
+        "product_path_step_ms": round(product_ms, 1),
+        "product_vs_standalone": round(product_ms / standalone_ms, 2),
     }))
     print(f"# analytic: dense W blocks {P*C*18*4/2**30:.2f} GB; "
           f"sharded/8 {P*C*18*4/8/2**20:.0f} MB/device; psum "

@@ -125,52 +125,104 @@ def run_engine_bench(use_async: bool = False, n_frames: int = 240,
         ff = eng._build_track(jax.device_put(frames[0]))
         jax.block_until_ready(eng._reloc(eng.map, ff.sbi).pose.t)
 
-    # Warmup: a full half-sequence (init + keyframe integrations + BA)
-    # at the camera's 30 Hz — an unthrottled feed would land decision
-    # reads only at pipeline-drain cadence and grow the map ~4x slower
-    # (see engine._inflight) — then a forced compile of every remaining
-    # mapping job type. The measured window stays max-rate.
+    def mapping_busy():
+        mm = eng.mapmaker
+        return (mm._ba_job is not None or mm._integrate_job is not None
+                or mm._refind_task is not None
+                or mm._last_dispatch is not None or bool(mm.kf_queue)
+                or mm._pending_integrate is not None)
+
+    def hitch_fields(events):
+        """Sub-second hitch accounting (VERDICT r4 #3: 150-350 ms
+        spikes on a 2-KF map sailed under the 5 s stall threshold and
+        polluted the mean while 'stalls: 0' claimed a clean run).
+        Frames > 50 ms are HITCHES; ones with NO mapping work in flight
+        at frame start are backend-service hitches, not compute."""
+        h = [(d, busy) for _, d, _, _, busy in events if 0.05 < d < 5.0]
+        return {
+            "hitches_over_50ms": len(h),
+            "hitches_no_mapping_inflight": sum(1 for _, b in h if not b),
+            "hitch_total_ms": round(sum(d for d, _ in h) * 1e3, 1),
+        }
+
+    # Warmup, paced by PROGRESS rather than frame index (VERDICT r4 #3:
+    # the round-4 driver artifact spent its whole fixed-length warmup
+    # inside remote compiles and then silently measured a 2-keyframe
+    # map while claiming the 16-KF scenario):
+    #   A. half a sequence at the camera's 30 Hz (init + first KFs,
+    #      first-touch compiles land here),
+    #   B. force-compile every remaining mapping job type,
+    #   C. keep feeding at 30 Hz — ping-ponging the sequence so the
+    #      camera path stays continuous — until the map reaches the
+    #      growth target (or a bounded number of extra passes, in which
+    #      case the shortfall is REPORTED, never silent).
+    growth_target = 12          # of max_kfs=16; the sweep revisits
+    #                             covered ground so 16/16 is not assured
     warm = n_frames // 2
     t_warm0 = time.perf_counter()
-    times = []
-    events = []   # (i, dt, added_kf, kfs) for spike attribution
-    t0 = None
     period = 1.0 / 30.0
-    next_tick = time.perf_counter()
-    for i, frame in prefetched():
-        if i < warm:
+
+    def feed_paced(seq_frames):
+        next_tick = time.perf_counter()
+        for i, frame in prefetched(seq_frames):
             now = time.perf_counter()
             if now < next_tick:
                 time.sleep(next_tick - now)
             next_tick = max(next_tick + period, time.perf_counter())
+            yield eng.process_frame(frame)
+
+    for info in feed_paced(frames[:warm]):
+        pass
+    assert info.stage == "TRACKING", info
+    precompile_mapping_jobs()
+    # Finish the first pass (compiles are done, so 30 Hz pacing is
+    # real), then ping-pong FULL passes — growth loops always end at a
+    # sequence endpoint, keeping the camera path continuous.
+    for info in feed_paced(frames[warm:]):
+        pass
+    at_end = True
+    for _pass in range(3):
+        if eng.mapmaker.n_kfs() >= growth_target:
+            break
+        for info in feed_paced(frames[::-1] if at_end else frames):
+            pass
+        at_end = not at_end
+    n_kfs_start = eng.mapmaker.n_kfs()
+    log(f"# warmup: {time.perf_counter() - t_warm0:.1f}s, "
+        f"stage={info.stage} pts={info.n_points} kfs={n_kfs_start} "
+        f"(target {growth_target})")
+
+    # ---- measured window: max-rate feed over one sequence pass ------
+    eng.decision_interval = 8
+    times = []
+    events = []   # (i, dt, added_kf, kfs, mapping_busy) for attribution
+    seq_frames = frames[::-1] if at_end else frames
+    t0 = time.perf_counter()
+    for i, frame in prefetched(seq_frames):
+        busy = mapping_busy()
         t1 = time.perf_counter()
         info = eng.process_frame(frame)
-        if i == warm - 1:
-            eng.decision_interval = 8
-            precompile_mapping_jobs()
-            log(f"# warmup: {warm} frames in "
-                f"{time.perf_counter() - t_warm0:.1f}s, "
-                f"stage={info.stage} pts={info.n_points} "
-                f"kfs={info.n_kfs}")
-            assert info.stage == "TRACKING", info
-            t0 = time.perf_counter()
-        elif i >= warm:
-            dt = time.perf_counter() - t1
-            times.append(dt)
-            events.append((i, dt, info.added_kf, info.n_kfs))
+        dt = time.perf_counter() - t1
+        times.append(dt)
+        events.append((i, dt, info.added_kf, info.n_kfs, busy))
     total = time.perf_counter() - t0
     fps = len(times) / total
 
     stats = frame_stats(times)
+    stats.update(hitch_fields(events))
     stats.update({
         "fps_as_printed": round(fps, 2),
         "n_points": int(info.n_points),
         "n_kfs": int(info.n_kfs),
+        "n_kfs_at_measure_start": int(n_kfs_start),
+        "growth_target": growth_target,
+        "growth_shortfall": max(0, growth_target - int(n_kfs_start)),
         "quality": int(info.quality),
     })
     log("# engine frame time " + fmt_stats(stats))
-    for i, dt, akf, kfs in sorted(events, key=lambda e: -e[1])[:8]:
-        log(f"#   spike f{i} {dt*1000:.1f}ms added_kf={akf} kfs={kfs}")
+    for i, dt, akf, kfs, busy in sorted(events, key=lambda e: -e[1])[:8]:
+        log(f"#   spike f{i} {dt*1000:.1f}ms added_kf={akf} kfs={kfs} "
+            f"mapping_busy={busy}")
 
     # ---- REAL-TIME latency pass (the reference's operating point) ----
     # Frames arrive on a 30 Hz tick like a camera; per-frame latency is
@@ -179,38 +231,39 @@ def run_engine_bench(use_async: bool = False, n_frames: int = 240,
     # KF-latency target (p95 <= one 33 ms envelope frame) is judged at —
     # the max-rate loop above measures THROUGHPUT, where queue-bound
     # waits are inevitable by construction.
-    # Reversed sequence: the camera retraces its path, so the RT pass
-    # continues smoothly from the engine's current pose (a plain restart
-    # would teleport the camera back to frame 0 and force a reloc).
+    # Reversed-direction sequence: the camera retraces its path, so the
+    # RT pass continues smoothly from the engine's current pose (a plain
+    # restart would teleport the camera back and force a reloc).
     rt_times = []
     rt_events = []
-    period = 1.0 / 30.0
     next_tick = time.perf_counter()
-    for i, frame in prefetched(frames[::-1]):
+    for i, frame in prefetched(seq_frames[::-1]):
         now = time.perf_counter()
         if now < next_tick:
             time.sleep(next_tick - now)
         next_tick = max(next_tick + period, time.perf_counter())
+        busy = mapping_busy()
         t1 = time.perf_counter()
         info = eng.process_frame(frame)
         dt = time.perf_counter() - t1
         rt_times.append(dt)
-        rt_events.append((i, dt, info.added_kf, info.n_kfs))
-    from bench_common import STALL_THRESHOLD_S
+        rt_events.append((i, dt, info.added_kf, info.n_kfs, busy))
     rt = frame_stats(rt_times)
+    rt.update(hitch_fields(rt_events))
     rt["n_kfs"] = int(info.n_kfs)
     rt["worst_kf_adjacent_ms"] = round(max(
-        (d for i, d, akf, k in rt_events if akf), default=0.0) * 1e3, 2)
+        (d for i, d, akf, k, b in rt_events if akf), default=0.0) * 1e3, 2)
     # Same metric with backend service hitches excluded (>1 s frames are
     # remote-service stalls, not mapping work — mapping dispatches are
     # latency-bounded to ~15-30 ms since round 4).
     rt["worst_kf_adjacent_ex_stall_ms"] = round(max(
-        (d for i, d, akf, k in rt_events
+        (d for i, d, akf, k, b in rt_events
          if akf and d < 1.0), default=0.0) * 1e3, 2)
     stats["realtime_30hz"] = rt
     log("# engine RT-30Hz latency " + fmt_stats(rt))
-    for i, dt, akf, kfs in sorted(rt_events, key=lambda e: -e[1])[:6]:
-        log(f"#   rt spike f{i} {dt*1000:.1f}ms added_kf={akf} kfs={kfs}")
+    for i, dt, akf, kfs, busy in sorted(rt_events, key=lambda e: -e[1])[:6]:
+        log(f"#   rt spike f{i} {dt*1000:.1f}ms added_kf={akf} kfs={kfs} "
+            f"mapping_busy={busy}")
     eng.close()
     return stats
 

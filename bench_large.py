@@ -33,8 +33,16 @@ def main():
 
     size = (640, 480)
     params = (1.0803, 1.43987, 0.519983, 0.548655, 0.244943)
-    n_frames = 330
-    warm = 280          # ~4.3 frames/KF through the phased pipeline
+    # --kf128 (round 5, VERDICT r4 #4): full MAX_KEYFRAMES=128 capacity
+    # on the real chip — halved KF spacing (wiggle 0.05) over a slower
+    # traversal of the same sweep, like the CPU capacity e2e
+    # (tests/test_slam_large_map.py). Reports the reached KF count
+    # explicitly; if growth hits a wall short of 128, the wall is the
+    # result, not a silent downgrade.
+    kf128 = "--kf128" in sys.argv
+    max_kfs = 128 if kf128 else 64
+    n_frames = 660 if kf128 else 330
+    warm = 600 if kf128 else 280   # ~4.3 frames/KF through the pipeline
     seq = synth.SyntheticSequence(params, image_size=size,
                                   n_frames=n_frames, seed=11, height=1.5,
                                   radius=1.0, sweep=1.5)
@@ -44,8 +52,9 @@ def main():
     cfg = EngineConfig(
         camera=CameraConfig(params=params, image_size=size),
         tracker=TrackerConfig(min_frames_between_kfs=2),
-        mapmaker=MapMakerConfig(candidate_min_shi_tomasi_score=100.0,
-                                max_kf_dist_wiggle_mult=0.12))
+        mapmaker=MapMakerConfig(
+            candidate_min_shi_tomasi_score=100.0,
+            max_kf_dist_wiggle_mult=0.05 if kf128 else 0.12))
     # Growth phase runs with per-frame decisions (a keyframe can be
     # added at most once per decision read, so interval=8 caps growth
     # at 1 KF / 8 frames and the map stalls near 28 KFs; at the 30 Hz
@@ -53,14 +62,14 @@ def main():
     # idle, so interval=1 reads are ~free). The timed window switches
     # to the pipelined interval=8.
     eng = engine_lib.SLAMEngine(cfg, image_size=size, max_points=8192,
-                                max_kfs=64, auto_init_frames=6, seed=0,
-                                decision_interval=1)
+                                max_kfs=max_kfs, auto_init_frames=6,
+                                seed=0, decision_interval=1)
     mm = eng.mapmaker
     # Pin BA tiers at the peak so the whole run uses ONE compiled shape
     # per job (see README "Performance notes").
-    mm._tier_c_floor = 64
-    mm._tier_p_floor = 4096
-    mm._tier_m_floor = 32768
+    mm._tier_c_floor = max_kfs
+    mm._tier_p_floor = 8192 if kf128 else 4096
+    mm._tier_m_floor = 65536 if kf128 else 32768
 
     def prefetched():
         nxt = jax.device_put(frames[0])
@@ -125,6 +134,10 @@ def main():
     mask2d = jnp.ones_like(mm.failure_mask)
     t_refind = timeit(lambda: jax.block_until_ready(
         mm._jit_refind_all(mm.map, mask2d)[0].point_pos))
+    # The PRODUCT refind dispatch is a 16-slot span (one per scheduler
+    # pass); its latency is the per-pass bound that matters.
+    t_span = timeit(lambda: jax.block_until_ready(
+        mm._jit_refind_span(mm.map, mask2d, mm._span_ks[0])[0].point_pos))
 
     caps = mm._ba_caps()
     ex = lambda: mm._jit_extract(mm.map, mm.map.kf_valid,
@@ -138,22 +151,44 @@ def main():
     state = bundlelib.init_lm(prob, mm.ba_cfg)
     kind = bundlelib.mest.estimator_id(mm.ba_cfg.mestimator)
     chunkf = bundlelib._cached_lm_chunk(mm.ba_cfg, kind)
+    # One product-size chunk dispatch (what a scheduler pass costs).
+    st0 = bundlelib.init_lm(prob, mm.ba_cfg)
+    st0, f0 = chunkf(st0, mm.cam, jnp.int32(mm.cfg.ba_steps_per_pass))
+    jax.block_until_ready(f0)
+    t = time.perf_counter()
+    st1, f1 = chunkf(bundlelib.init_lm(prob, mm.ba_cfg), mm.cam,
+                     jnp.int32(mm.cfg.ba_steps_per_pass))
+    jax.block_until_ready(f1)
+    t_chunk = (time.perf_counter() - t) * 1000
+    chunk_iters = int(np.asarray(f1)[1])
+
     t = time.perf_counter()
     state, flags = chunkf(state, mm.cam, jnp.int32(mm.ba_cfg.max_iterations))
     conv, iters, failed, acc = (int(x) for x in np.asarray(flags))
     t_ba = time.perf_counter() - t
-    print(f"# mapping-job latency at K=64: refind_all={t_refind:.1f}ms "
+    print(f"# mapping-job latency at K={max_kfs}: "
+          f"refind_all={t_refind:.1f}ms refind_span16={t_span:.1f}ms "
           f"extract={t_extract:.1f}ms "
+          f"ba_chunk[{chunk_iters} iters]={t_chunk:.1f}ms "
           f"globalBA: {iters} LM iters in {t_ba*1000:.0f}ms "
           f"({iters/max(t_ba,1e-9):.1f} steps/s, caps={caps}, "
           f"conv={conv} failed={failed})", file=sys.stderr)
 
     baseline_fps = 30.0
     print(json.dumps({
-        "metric": "engine_fps_640x480_64kf_map",
+        "metric": f"engine_fps_640x480_{max_kfs}kf_map",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),
+        "n_kfs_reached": int(info.n_kfs),
+        "kf_capacity": max_kfs,
+        "n_points": int(info.n_points),
+        "refind_span16_ms": round(t_span, 1),
+        "refind_all_ms": round(t_refind, 1),
+        "extract_ms": round(t_extract, 1),
+        "ba_chunk_ms": round(t_chunk, 1),
+        "ba_full_iters": iters,
+        "ba_full_ms": round(t_ba * 1000, 0),
         **stats,
     }))
     eng.close()

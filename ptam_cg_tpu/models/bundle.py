@@ -424,6 +424,36 @@ def _cached_lm_step(cfg: BundleConfig, mest_kind: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _cached_lm_step_flags(cfg: BundleConfig, mest_kind: int):
+    """ONE LM step + the packed control-flag vector as one dispatch —
+    the product BA program at LARGE problem sizes.
+
+    Round-4 measurement at the C=500/P=50k north star: the
+    while_loop-of-steps CHUNK program runs ~10x slower per inner
+    iteration than the standalone step (4.3 vs 0.43 s — the GB-scale
+    loop-carried LMState appears to spill), while at product 64-KF
+    scales the chunk costs only ~25% over the raw step.
+    ``MapMaker._ba_dispatch_chunk`` therefore switches to this per-step
+    program above ``mapmaker.BA_CHUNK_W_BYTES_LIMIT``; the non-blocking
+    abort poll still works (one step per poll, flags read deferred).
+    No buffer donation: LMState holds only the problem tables (~25 MB
+    at the north star — the GB-scale W blocks are internal to the step
+    program), and donating it would delete the MapMaker's reused
+    LM-template scalars and any aliased problem arrays out from under
+    later runs.
+
+    (Ref: the reference's global BA is one code path at any scale,
+    src/Bundle.cc:116-158.)"""
+    def stepf(state: LMState, cam):
+        out = lm_step(state, cam, cfg, mest_kind)
+        flags = jnp.stack([out.converged.astype(jnp.int32), out.iters,
+                           out.failed.astype(jnp.int32), out.accepted])
+        return out, flags
+
+    return jax.jit(stepf)
+
+
+@functools.lru_cache(maxsize=None)
 def _cached_lm_chunk(cfg: BundleConfig, mest_kind: int):
     """A device-side LM loop: run steps until converged/failed or
     ``iter_limit`` inner iterations, as ONE dispatch (a lax.while_loop of

@@ -74,7 +74,7 @@ class SLAMEngine:
                  auto_init_frames: Optional[int] = 6,
                  async_mapping: bool = False,
                  decision_interval: int = 1,
-                 mesh=None):
+                 mesh=None, deterministic: Optional[bool] = None):
         """``decision_interval``: read the per-frame decision scalars
         (quality / lost / KF-need) back from the device every N frames
         instead of every frame. On a networked TPU backend EVERY blocking
@@ -89,10 +89,22 @@ class SLAMEngine:
         global bundle adjustment runs point-sharded over it (the
         framework's multi-chip scale path; see parallel/sharded_ba.py).
         Tracking stays single-device (one frame is far below one chip's
-        capacity)."""
+        capacity).
+
+        ``deterministic``: with True, engine + mapping scheduling is a
+        pure function of the frame sequence and seed — every readiness
+        gate blocks and BA chunks are fixed-size, so the same replay
+        produces the same map regardless of host load (the reference's
+        deterministic dataset harness, ref: src/VideoSource.cc:59-151;
+        VERDICT r4 #2). None auto-selects by backend: deterministic on
+        CPU, latency mode (non-blocking gates, EMA-fitted BA chunks) on
+        accelerators."""
         self.cfg = cfg
         self.mesh = mesh
         self._seed = seed
+        if deterministic is None:
+            deterministic = jax.default_backend() == "cpu"
+        self._deterministic = deterministic
         trklib.validate_config(cfg.tracker)
         self.image_size = image_size or cfg.camera.image_size
         self.cam = atan.make_camera(cfg.camera.params, self.image_size)
@@ -104,7 +116,8 @@ class SLAMEngine:
                                 atlas_dtype)
         self.mapmaker = mmlib.MapMaker(self.map, self.cam, self.image_size,
                                        cfg.mapmaker, cfg.bundle, seed=seed,
-                                       mesh=mesh)
+                                       mesh=mesh,
+                                       deterministic=deterministic)
         self.stage = Stage.NOT_STARTED
         self.tracker_state = trklib.init_tracker_state(seed=seed + 1)
         self.trails: Optional[initlib.TrailState] = None
@@ -175,6 +188,11 @@ class SLAMEngine:
         #: Decision candidate awaiting readiness (see process_frame's
         #: readiness-gated decision read).
         self._decision_pending = None
+        #: Force the next decision read: set when the chunky pipeline
+        #: drain has just paid a blocking wait anyway (round 5 — couples
+        #: the two sync points, so max-rate feeds land decisions at
+        #: drain cadence instead of only at the staleness cap).
+        self._force_decision = False
         #: Loosely-bounded dispatch pipeline: info vectors of recent
         #: dispatched frames, completed entries popped for free each
         #: frame. A caller feeding frames faster than the device rate
@@ -277,7 +295,8 @@ class SLAMEngine:
         self.map = ms.empty_map(self.image_size, P, K, self._atlas_dtype)
         self.mapmaker = mmlib.MapMaker(
             self.map, self.cam, self.image_size, self.cfg.mapmaker,
-            self.cfg.bundle, seed=self._seed, mesh=self.mesh)
+            self.cfg.bundle, seed=self._seed, mesh=self.mesh,
+            deterministic=self._deterministic)
         self.stage = Stage.NOT_STARTED
         self.tracker_state = trklib.init_tracker_state(
             key=self._next_key())
@@ -287,6 +306,7 @@ class SLAMEngine:
         self.newest_kf = None
         self._pending = None
         self._decision_pending = None
+        self._force_decision = False
         self._inflight.clear()
         self._prev_sbi_track = None
         self._n_points_host = 0
@@ -399,10 +419,30 @@ class SLAMEngine:
                     >= self.decision_interval):
                 self._decision_pending = p
             dp = self._decision_pending
+            # Forced (blocking) read when: strict per-frame cadence;
+            # deterministic replay (readiness gates are banned there);
+            # the chunky drain just paid a blocking wait anyway; the
+            # staleness cap (2 intervals — ADVICE r4 tightened from 4:
+            # a lost-tracking signal must not act on a ~1 s-old pose);
+            # or quality was already degraded at the last read (reloc
+            # latency matters most exactly then). Otherwise the read is
+            # readiness-gated — and the is_ready poll itself runs only
+            # every 2nd frame while the candidate is PENDING, because a
+            # poll on a pending array is a remote round trip on the
+            # networked backend (ADVICE r4).
             force = (self.decision_interval == 1
+                     or self._deterministic
+                     or self._force_decision
                      or self._frames_since_decision
-                     >= 4 * self.decision_interval)
-            if dp is not None and (force or dp["info"].is_ready()):
+                     >= 2 * self.decision_interval
+                     or (self._last_quality != trklib.QUALITY_GOOD
+                         and self._frames_since_decision
+                         >= self.decision_interval))
+            ready = (dp is not None and not force
+                     and self._frames_since_decision % 2 == 0
+                     and dp["info"].is_ready())
+            if dp is not None and (force or ready):
+                self._force_decision = False
                 self._decision_pending = None
                 p = dp
                 self._frames_since_decision = 0
@@ -517,6 +557,11 @@ class SLAMEngine:
                 old = self._inflight.popleft()
                 self._inflight.clear()
                 old.block_until_ready()
+                # Having just paid a blocking wait, land the pending
+                # decision at the next frame too (its info is mostly
+                # executed by now) — max-rate feeds then make decisions
+                # at drain cadence, not only at the staleness cap.
+                self._force_decision = True
 
             if self.async_mapping:
                 # Nudge the mapping thread; tracking continues on the

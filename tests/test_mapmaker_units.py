@@ -422,7 +422,8 @@ def test_adaptive_ba_chunk_sizing():
     from ptam_cg_tpu.config import MapMakerConfig
     maker = mm.MapMaker(m, cam, SIZE,
                         MapMakerConfig(ba_latency_budget_ms=15.0,
-                                       ba_steps_per_pass=5))
+                                       ba_steps_per_pass=5),
+                        deterministic=False)   # latency mode under test
     assert maker._ba_step_ms is None
     assert maker._chunk_steps() == 1          # probe
     maker._ba_step_ms = 5.0
@@ -431,3 +432,66 @@ def test_adaptive_ba_chunk_sizing():
     assert maker._chunk_steps() == 5          # capped by steps_per_pass
     maker._ba_step_ms = 100.0
     assert maker._chunk_steps() == 1          # never zero
+
+    # Deterministic mode (the CPU-backend default, VERDICT r4 #2):
+    # chunk size is a pure config constant — host load can't move it.
+    det = mm.MapMaker(m, cam, SIZE,
+                      MapMakerConfig(ba_latency_budget_ms=15.0,
+                                     ba_steps_per_pass=5))
+    assert det.deterministic          # auto: CPU backend
+    det._ba_step_ms = 100.0
+    assert det._chunk_steps() == 5
+
+
+def test_ba_single_step_switch_threshold():
+    """Above BA_CHUNK_W_BYTES_LIMIT the scheduler dispatches standalone
+    LM steps instead of the while_loop chunk (round-5 product-path fix:
+    the chunk's loop-carried state spills ~10x at the 500-KF north
+    star). Product tiers stay on the chunk."""
+    # Product caps: <= 128 KF / 8192 pts -> chunk.
+    assert not mm.ba_use_single_step(16, 2048)
+    assert not mm.ba_use_single_step(128, 8192)
+    # North-star caps (C=500 -> 512, P=50k -> 65536) -> single step.
+    assert mm.ba_use_single_step(512, 65536)
+
+
+def test_lm_step_flags_matches_chunk_path():
+    """The single-step+flags program (the product BA dispatch at large
+    scales) produces the same optimization trajectory as the while_loop
+    chunk limited to the same iteration count."""
+    import jax
+    import numpy as np
+
+    from bench_ba import make_problem
+    from ptam_cg_tpu.config import BundleConfig
+    from ptam_cg_tpu.models import bundle
+    from ptam_cg_tpu.utils import mest
+
+    prob, cam = make_problem(6, 256, 1024, seed=5)
+    cfg = BundleConfig()
+    kind = mest.estimator_id(cfg.mestimator)
+    chunkf = bundle._cached_lm_chunk(cfg, kind)
+    stepf = bundle._cached_lm_step_flags(cfg, kind)
+
+    s_chunk = bundle.init_lm(prob, cfg)
+    s_step = bundle.init_lm(prob, cfg)
+    # Drive the step path exactly like _ba_poll: one step per poll
+    # until the iteration target is reached.
+    target = 6
+    while int(s_step.iters) < target and not bool(s_step.converged):
+        s_step, flags = stepf(s_step, cam)
+        f = np.asarray(flags)
+        assert f[1] == int(s_step.iters)
+    s_chunk, cflags = chunkf(s_chunk, cam, jnp.int32(int(s_step.iters)))
+    # Same math, different compiled programs (while_loop body vs
+    # standalone step): XLA fuses them differently, so f32 rounding
+    # accumulates over the 6 iterations — observed max |dpt| ~6e-4 on
+    # a ~5-unit-deep scene. Bound it well under the BA convergence
+    # scale (update_squared_convergence_limit=1e-6 -> ~1e-3 updates).
+    np.testing.assert_allclose(np.asarray(s_chunk.problem.pt_pos),
+                               np.asarray(s_step.problem.pt_pos),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(s_chunk.problem.cam_t),
+                               np.asarray(s_step.problem.cam_t),
+                               atol=5e-3)
+    assert int(s_chunk.iters) == int(s_step.iters)
