@@ -160,23 +160,27 @@ class SLAMEngine:
         # the dispatch pipeline the bench avoided).
         wig_mult = cfg.mapmaker.max_kf_dist_wiggle_mult
 
-        def _track_and_decide(st, m, im, prev_sbi_track,
+        def _track_and_decide(st, mv, im, prev_sbi_track,
                               wiggle_depth_norm):
+            # ``mv`` is a slim TrackView, not the full MapState: host
+            # dispatch cost scales with the argument pytree's leaf count
+            # on the networked backend, and tracking reads only 14 of
+            # MapState's ~36 leaves (tracker.TrackView).
             fo = trklib.track_frame_from_image(
-                st, m, im.astype(jnp.float32), prev_sbi_track, self.cam,
+                st, mv, im.astype(jnp.float32), prev_sbi_track, self.cam,
                 self.image_size, self.cam_params, cfg.tracker,
                 cfg.frontend, cfg.mapmaker.wiggle_scale)
             res = fo.result
-            new_inl = m.point_inlier + res.inlier_delta
-            new_outl = m.point_outlier + res.outlier_delta
-            need_kf = mmlib.need_new_kf(m, fo.state.pose,
+            new_inl = mv.point_inlier + res.inlier_delta
+            new_outl = mv.point_outlier + res.outlier_delta
+            need_kf = mmlib.need_new_kf(mv, fo.state.pose,
                                         fo.state.depth_mean,
                                         wiggle_depth_norm, wig_mult)
             info = jnp.stack([
                 fo.state.quality, fo.state.lost_frames,
                 jnp.sum(res.meas_valid.astype(jnp.int32)),
                 need_kf.astype(jnp.int32),
-                m.n_points().astype(jnp.int32)])
+                jnp.sum(mv.point_valid.astype(jnp.int32))])
             return fo, new_inl, new_outl, info
 
         self._step_track = jax.jit(_track_and_decide)
@@ -512,8 +516,8 @@ class SLAMEngine:
                 self._wiggle_dev = jnp.float32(self._wiggle_val)
             _t3 = time.perf_counter()
             fo, new_inl, new_outl, info = self._step_track(
-                st, self.map, im, self._prev_sbi_track,
-                self._wiggle_dev)
+                st, trklib.make_track_view(self.map), im,
+                self._prev_sbi_track, self._wiggle_dev)
             if _DBG and time.perf_counter() - _t3 > 0.01:
                 print(f"#dbg f{self.frame_idx} track_dispatch={1e3*(time.perf_counter()-_t3):.1f}ms",
                       file=__import__('sys').stderr)

@@ -96,6 +96,48 @@ def init_tracker_state(pose: SE3 | None = None,
         key=key)
 
 
+class TrackView(NamedTuple):
+    """The 14 MapState leaves the per-frame TRACKING program actually
+    reads — a slim duck-typed stand-in for MapState at the jit boundary.
+
+    On the networked TPU backend, host dispatch cost scales with the
+    argument pytree's leaf count (round-1 finding; VERDICT r4 #5 named
+    slimming the fused program's pytree surface as a track-floor lever).
+    The full MapState is ~36 leaves; tracking + the per-frame decision
+    scalars touch only these. ``make_track_view`` builds one for free
+    (host tuple of existing device buffers — no device ops). Every
+    consumer (``track_map``, ``local_point_mask``,
+    ``map_state.closest_kf_distances``, ``need_new_kf``) accesses fields
+    by name, so MapState and TrackView interchange transparently."""
+    point_pos: Array          # (P, 3)
+    point_valid: Array        # (P,)
+    point_center: Array       # (P, 2)
+    point_src_kf: Array       # (P,)
+    point_src_level: Array    # (P,)
+    point_right_w: Array      # (P, 3)
+    point_down_w: Array       # (P, 3)
+    point_inlier: Array       # (P,)
+    point_outlier: Array      # (P,)
+    kf_R: Array               # (K, 3, 3)
+    kf_t: Array               # (K, 3)
+    kf_valid: Array           # (K,)
+    kf_atlas: Array           # (K, Ha, W)
+    meas_valid: Array         # (K, P)
+
+
+def make_track_view(m) -> TrackView:
+    """Slice the tracking-visible leaves out of a MapState (free: host
+    references to the same device buffers)."""
+    return TrackView(
+        point_pos=m.point_pos, point_valid=m.point_valid,
+        point_center=m.point_center, point_src_kf=m.point_src_kf,
+        point_src_level=m.point_src_level,
+        point_right_w=m.point_right_w, point_down_w=m.point_down_w,
+        point_inlier=m.point_inlier, point_outlier=m.point_outlier,
+        kf_R=m.kf_R, kf_t=m.kf_t, kf_valid=m.kf_valid,
+        kf_atlas=m.kf_atlas, meas_valid=m.meas_valid)
+
+
 class TrackResult(NamedTuple):
     pose: SE3
     # Measurements over the working set (TRACK_CAP entries):
