@@ -20,7 +20,7 @@ import traceback
 
 import numpy as np
 
-from bench_common import STALL_THRESHOLD_S
+from bench_common import STALL_THRESHOLD_S, read_rtt_s, sync_read
 
 
 def main():
@@ -160,7 +160,8 @@ def main():
     # measure latency, not throughput); a backend stall surfaces as one
     # dispatch blocking on the full host queue, so thresholding the
     # per-iter times catches it (VERDICT r3 #4).
-    iters = 30
+    iters = 60
+    rtt = read_rtt_s()
     st = state
     sbi = prev_sbi
     iter_t = []
@@ -180,8 +181,11 @@ def main():
             st = out.state
             sbi = ff.sbi_track
             iter_t.append(time.perf_counter() - t1)
-    st.pose.t.block_until_ready()
-    total = time.perf_counter() - t0
+    # End the window with a real HOST READ: block_until_ready can return
+    # before execution completes on this backend (bench_common.sync_read
+    # — round-5 finding); the known read RTT is subtracted.
+    sync_read(st.pose.t)
+    total = time.perf_counter() - t0 - rtt
     iter_t = np.asarray(iter_t)
     stalls = int((iter_t > STALL_THRESHOLD_S).sum())
     stall_s = float(iter_t[iter_t > STALL_THRESHOLD_S].sum())

@@ -10,6 +10,8 @@ explicitly in its output JSON (VERDICT r3 #4).
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 #: A frame slower than this is a backend stall, not a compute spike: the
@@ -43,6 +45,37 @@ def frame_stats(times_s, stall_threshold_s: float = STALL_THRESHOLD_S,
     if prefix:
         out = {prefix + k: v for k, v in out.items()}
     return out
+
+
+def sync_read(x) -> float:
+    """End a timed window by HOST-READING a device value; returns a
+    float of its first element.
+
+    Round-5 finding: on the networked axon backend
+    ``block_until_ready()`` can return BEFORE the program actually
+    executes (a chained 8k bf16 matmul loop "measured" 0.04 ms/call
+    with an end-of-loop block, 8.75 ms — the honest v5e number — with
+    an end-of-loop host read). The TPU executes programs in order on
+    its single core, so one host read of any output of the LAST
+    program in a chain fences the whole window. Every timed loop must
+    end with this (or another real host read), never with a bare
+    block_until_ready."""
+    v = np.asarray(x).ravel()
+    return float(v[0]) if v.size else 0.0
+
+
+def read_rtt_s() -> float:
+    """Measure the cost of one tiny dispatch + host scalar read (the
+    sync_read overhead), for subtracting from short timed windows."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda a, b: a + b)
+    z = jnp.zeros(())
+    one = jnp.float32(1.0)
+    float(f(z, one))                 # compile + settle
+    t0 = time.perf_counter()
+    float(f(z, one))
+    return time.perf_counter() - t0
 
 
 def fmt_stats(s: dict) -> str:

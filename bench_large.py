@@ -123,27 +123,36 @@ def main():
     mm.drain_all()
     mm.map = eng.map
 
-    def timeit(fn, n=5):
-        fn()                                   # warm (already compiled)
+    # Timed windows end with a real HOST READ and subtract the read RTT
+    # (block_until_ready can return before execution completes on this
+    # backend — bench_common.sync_read, round-5 finding).
+    from bench_common import read_rtt_s, sync_read
+    rtt = read_rtt_s()
+
+    def timeit(fn, n=10):
+        sync_read(fn())                        # warm (already compiled)
         t = time.perf_counter()
+        out = None
         for _ in range(n):
-            fn()
-        return (time.perf_counter() - t) / n * 1000
+            out = fn()
+        sync_read(out)
+        return (time.perf_counter() - t - rtt) / n * 1000
 
     K = mm.map.kf_valid.shape[0]
     mask2d = jnp.ones_like(mm.failure_mask)
-    t_refind = timeit(lambda: jax.block_until_ready(
-        mm._jit_refind_all(mm.map, mask2d)[0].point_pos))
+    t_refind = timeit(
+        lambda: mm._jit_refind_all(mm.map, mask2d)[0].point_pos[0])
     # The PRODUCT refind dispatch is a 16-slot span (one per scheduler
     # pass); its latency is the per-pass bound that matters.
-    t_span = timeit(lambda: jax.block_until_ready(
-        mm._jit_refind_span(mm.map, mask2d, mm._span_ks[0])[0].point_pos))
+    t_span = timeit(
+        lambda: mm._jit_refind_span(mm.map, mask2d,
+                                    mm._span_ks[0])[0].point_pos[0])
 
     caps = mm._ba_caps()
     ex = lambda: mm._jit_extract(mm.map, mm.map.kf_valid,
                                  jnp.zeros(K, bool) | mm.map.kf_fixed,
                                  mm.map.point_valid, *caps)
-    t_extract = timeit(lambda: jax.block_until_ready(ex()[0].pt_pos))
+    t_extract = timeit(lambda: ex()[0].pt_pos[0])
 
     # Global BA to convergence (fresh jitted chunks, already compiled).
     from ptam_cg_tpu.models import bundle as bundlelib
@@ -154,13 +163,12 @@ def main():
     # One product-size chunk dispatch (what a scheduler pass costs).
     st0 = bundlelib.init_lm(prob, mm.ba_cfg)
     st0, f0 = chunkf(st0, mm.cam, jnp.int32(mm.cfg.ba_steps_per_pass))
-    jax.block_until_ready(f0)
+    sync_read(f0)
     t = time.perf_counter()
     st1, f1 = chunkf(bundlelib.init_lm(prob, mm.ba_cfg), mm.cam,
                      jnp.int32(mm.cfg.ba_steps_per_pass))
-    jax.block_until_ready(f1)
-    t_chunk = (time.perf_counter() - t) * 1000
-    chunk_iters = int(np.asarray(f1)[1])
+    chunk_iters = int(np.asarray(f1)[1])      # real host read
+    t_chunk = (time.perf_counter() - t - rtt) * 1000
 
     t = time.perf_counter()
     state, flags = chunkf(state, mm.cam, jnp.int32(mm.ba_cfg.max_iterations))

@@ -130,24 +130,29 @@ def main():
                                     meas_level, meas_valid, meas_valid,
                                     dm, ds, npm)
 
-    # Warmup / compile.
+    # Warmup / compile. Timed windows end with a real HOST READ and
+    # subtract the read RTT: block_until_ready can return before
+    # execution completes on this backend (bench_common.sync_read).
+    from bench_common import read_rtt_s, sync_read
+
     out_m, new_mask, slot_n = integrate(m)
-    out_m.kf_valid.block_until_ready()
+    sync_read(slot_n)
+    rtt = read_rtt_s()
     t0 = time.perf_counter()
-    iters = 10
+    iters = 20
     for _ in range(iters):
         out_m, new_mask, slot_n = integrate(m)
-    out_m.kf_valid.block_until_ready()
-    integrate_ms = (time.perf_counter() - t0) / iters * 1000
+    sync_read(slot_n)
+    integrate_ms = (time.perf_counter() - t0 - rtt) / iters * 1000
 
     mask2d = jnp.broadcast_to(new_mask, (K, P))
     m2, nf = maker._jit_refind_all(out_m, mask2d)
-    m2.kf_valid.block_until_ready()
+    sync_read(nf)
     t0 = time.perf_counter()
     for _ in range(iters):
         m2, nf = maker._jit_refind_all(out_m, mask2d)
-    m2.kf_valid.block_until_ready()
-    refind_ms = (time.perf_counter() - t0) / iters * 1000
+    sync_read(nf)
+    refind_ms = (time.perf_counter() - t0 - rtt) / iters * 1000
 
     # Duty cycle: mapping work per keyframe period (20 frames @ 30 FPS,
     # ref: src/Tracker.cc:163) spent in integrate + one refind-all pass.

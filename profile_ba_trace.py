@@ -14,19 +14,26 @@ def capture():
     from ptam_cg_tpu.models import bundle
     from bench_ba import make_problem
 
-    prob, cam = make_problem(64, 4096, 16384, seed=3)
+    if "--northstar" in sys.argv:
+        # The C=500/P=50k/M=500k scale (fewer steps — ~8 s/iter
+        # measured honestly in round 5).
+        prob, cam = make_problem(500, 50000, 500000, seed=4,
+                                 motion=(0.002, 0.0005))
+        n_steps = 3
+    else:
+        prob, cam = make_problem(64, 4096, 16384, seed=3)
+        n_steps = 10
     step = jax.jit(lambda s: bundle.lm_step(s, cam))
     state = bundle.init_lm(prob)
     state = step(state)
     state = step(state)
-    jax.block_until_ready(state)
+    int(state.iters)        # host read: block_until_ready doesn't fence
 
     jax.profiler.start_trace(LOGDIR)
-    for _ in range(10):
+    for _ in range(n_steps):
         state = step(state)
-    jax.block_until_ready(state)
-    jax.profiler.stop_trace()
     print("trace captured; iters:", int(state.iters))
+    jax.profiler.stop_trace()
 
 
 def report():
