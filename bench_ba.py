@@ -200,10 +200,15 @@ def _northstar_tpu(C, P, M, cfg, motion):
 
     # --- PRODUCT dispatch path at this scale: the per-step+flags
     # program MapMaker._ba_dispatch_chunk selects (the caps here are
-    # C->512 / P->65536, far past BA_CHUNK_W_BYTES_LIMIT).
+    # C->512 / P->65536, far past BA_CHUNK_W_BYTES_LIMIT), in the
+    # MEMORY-LEAN configuration the MapMaker applies at this tier
+    # (round 5: the dense step's ~5 GB peak working set costs seconds
+    # of shared-service overhead per call; device compute is ~0.4 s).
+    import dataclasses
     assert mapmaker.ba_use_single_step(512, 65536)
     kind = mest.estimator_id(cfg.mestimator)
-    stepf = bundle._cached_lm_step_flags(cfg, kind)
+    lean = dataclasses.replace(cfg, soff_tiles=8, u_chunks=8)
+    stepf = bundle._cached_lm_step_flags(lean, kind)
     pstate = bundle.init_lm(jax.device_put(prob, dev), cfg)
     pstate, flags = stepf(pstate, cam)       # compile + first step
     pit0 = int(np.asarray(flags)[1])         # real host read

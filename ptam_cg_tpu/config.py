@@ -162,6 +162,19 @@ class BundleConfig:
     lambda_factor_initial: float = 2.0
     #: Robust sigma floor in px (ref: src/Bundle.cc:234 min 0.4).
     min_sigma: float = 0.4
+    #: Memory-lean LM step (round 5). At the 500-KF north star the
+    #: default step's peak working set is ~5 GB (dense W 1.8 GB + the
+    #: full (C6, 3P) WV product 1.8 GB + a (M, C) one-hot 1.0 GB); on
+    #: the shared-service backend that pressure costs ~7-15 s per call
+    #: of non-device overhead while the actual device compute is
+    #: ~0.4 s. ``soff_tiles`` > 1 accumulates the Schur S_off over P in
+    #: that many tiles via lax.scan — the full WV never materializes —
+    #: and ``u_chunks`` > 1 likewise chunks the U one-hot dot over M.
+    #: Both fall back to the dense path unless P (resp. M) is exactly
+    #: divisible. 0 = off (the right choice at product tiers, where the
+    #: temps are small and the scan is pure overhead).
+    soff_tiles: int = 0
+    u_chunks: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

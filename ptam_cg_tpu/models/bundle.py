@@ -175,10 +175,28 @@ def _accumulators(prob: BundleProblem, cam: atan.Camera, sigma_sq: Array,
                   A, 0.0)
     B = jnp.where(good[:, None, None], B, 0.0)
 
-    oh_c = jax.nn.one_hot(prob.meas_cam, C, dtype=jnp.float32)   # (M, C)
     AtA = jnp.einsum("mia,mib->mab", A, A).reshape(M, 36)
     Aeps = jnp.einsum("mia,mi->ma", A, eps_w)                    # (M, 6)
-    Uea = oh_c.T @ jnp.concatenate([AtA, Aeps], axis=-1)         # (C, 42)
+    AtAeps = jnp.concatenate([AtA, Aeps], axis=-1)               # (M, 42)
+    if cfg.u_chunks > 1 and M % cfg.u_chunks == 0:
+        # Memory-lean U: the (M, C) one-hot is 1.0 GB at the north star
+        # — accumulate in M-chunks so only an (M/chunks, C) slice is
+        # ever live (config.BundleConfig.soff_tiles docstring).
+        Mc = M // cfg.u_chunks
+
+        def _u_body(acc, xs):
+            mc_c, a_c = xs
+            oh = jax.nn.one_hot(mc_c, C, dtype=jnp.float32)
+            return acc + oh.T @ a_c, None
+
+        Uea, _ = jax.lax.scan(
+            _u_body, jnp.zeros((C, 42)),
+            (prob.meas_cam.reshape(cfg.u_chunks, Mc),
+             AtAeps.reshape(cfg.u_chunks, Mc, 42)))
+    else:
+        oh_c = jax.nn.one_hot(prob.meas_cam, C,
+                              dtype=jnp.float32)                 # (M, C)
+        Uea = oh_c.T @ AtAeps                                    # (C, 42)
     U = Uea[:, :36].reshape(C, 6, 6)
     ea = Uea[:, 36:]
 
@@ -199,9 +217,32 @@ def _accumulators(prob: BundleProblem, cam: atan.Camera, sigma_sq: Array,
     Wm = jnp.einsum("mia,mib->mab", A, B)                        # (M, 6, 3)
     rows = (prob.meas_cam[:, None] * 18
             + jnp.arange(18, dtype=prob.meas_cam.dtype)[None])  # (M, 18)
-    W2d = jnp.zeros((C * 18, P)).at[rows, prob.meas_pt[:, None]].add(
-        Wm.reshape(M, 18), mode="drop")
+    if lean_tiles(cfg, P) > 1:
+        # Memory-lean layout: scatter W directly into P-tiles
+        # (nT, 18C, T) so the Schur accumulation can lax.scan over
+        # tiles without ever materializing the full (C6, 3P) WV
+        # product (1.8 GB at the north star; see
+        # config.BundleConfig.soff_tiles). Same pad-free P-minormost
+        # property per tile.
+        nT = cfg.soff_tiles
+        T = P // nT
+        W2d = jnp.zeros((nT, C * 18, T)).at[
+            (prob.meas_pt // T)[:, None], rows,
+            (prob.meas_pt % T)[:, None]].add(
+            Wm.reshape(M, 18), mode="drop")
+    else:
+        W2d = jnp.zeros((C * 18, P)).at[
+            rows, prob.meas_pt[:, None]].add(
+            Wm.reshape(M, 18), mode="drop")
     return U, ea, V9, eb, W2d, err, new_bad, good
+
+
+def lean_tiles(cfg: BundleConfig, P: int) -> int:
+    """Number of Schur tiles the lean path uses (1 = dense path).
+    Falls back to dense unless P divides exactly."""
+    if cfg.soff_tiles > 1 and P % cfg.soff_tiles == 0:
+        return cfg.soff_tiles
+    return 1
 
 
 def _vinv_cols(V9: Array, lam) -> Array:
@@ -288,9 +329,13 @@ def _lm_step_impl(state: LMState, cam: atan.Camera,
     # ---- (ii) jacobians + accumulators ----------------------------------
     U, ea, V9, eb, W2d, current_error, new_bad, good = _accumulators(
         prob, cam, sigma_sq, cfg, mest_kind)
-    # Loop-invariant (C6, 3P) matrix view of the flat W (free reshape —
-    # P-minormost, see _accumulators' layout note).
-    W_m = W2d.reshape(C * 6, 3 * P)
+    nT = lean_tiles(cfg, P)
+    if nT > 1:
+        W_m = None            # lean: W2d is (nT, 18C, P/nT) — see below
+    else:
+        # Loop-invariant (C6, 3P) matrix view of the flat W (free
+        # reshape — P-minormost, see _accumulators' layout note).
+        W_m = W2d.reshape(C * 6, 3 * P)
     ebT = eb.T                                            # (3, P)
 
     free = prob.cam_valid & ~prob.cam_fixed               # (C,)
@@ -304,16 +349,39 @@ def _lm_step_impl(state: LMState, cam: atan.Camera,
         # (ref: src/Bundle.cc:341-359; zero if V is rank-deficient).
         Vi = _vinv_cols(V9, lam)                          # (3, 3, P)
 
-        # S diag + off-diag in one shot: S = U* - sum_p W V^-1 W^T.
-        # WV is nine (C6, P) FMAs; the (p, d) contraction runs as ONE
-        # MXU dot on the flat matrix views.
-        WV_m = _wv_product(W2d, Vi, C * 6, P)             # (C6, 3P)
-        S_off = (WV_m @ W_m.T).reshape(C, 6, C, 6)        # (C,6,C,6)
+        if nT > 1:
+            # Memory-lean Schur: scan P-tiles, accumulating
+            # S_off = sum_t WV_t @ W_t^T — the full (C6, 3P) WV (1.8 GB
+            # at the north star) never materializes; per-tile temps are
+            # 1/nT the size (config.BundleConfig.soff_tiles).
+            T = P // nT
+            Vi_t = jnp.moveaxis(Vi.reshape(3, 3, nT, T), 2, 0)
+            eb_t = jnp.moveaxis(ebT.reshape(3, nT, T), 1, 0)
+
+            def _tile(carry, xs):
+                S_acc, r_acc = carry
+                Wt, Vit, ebt = xs
+                WVt = _wv_product(Wt, Vit, C * 6, T)      # (C6, 3T)
+                Wt_m = Wt.reshape(C * 6, 3 * T)
+                return (S_acc + WVt @ Wt_m.T,
+                        r_acc + WVt @ ebt.reshape(-1)), None
+
+            (S_off_m, rcorr), _ = jax.lax.scan(
+                _tile, (jnp.zeros((C * 6, C * 6)), jnp.zeros(C * 6)),
+                (W2d, Vi_t, eb_t))
+            S_off = S_off_m.reshape(C, 6, C, 6)
+            rhs = ea - rcorr.reshape(C, 6)
+        else:
+            # S diag + off-diag in one shot: S = U* - sum_p W V^-1 W^T.
+            # WV is nine (C6, P) FMAs; the (p, d) contraction runs as
+            # ONE MXU dot on the flat matrix views.
+            WV_m = _wv_product(W2d, Vi, C * 6, P)         # (C6, 3P)
+            S_off = (WV_m @ W_m.T).reshape(C, 6, C, 6)    # (C,6,C,6)
+            rhs = ea - (WV_m @ ebT.reshape(-1)).reshape(C, 6)
         Ustar = U * (jnp.ones((6, 6)) + lam * jnp.eye(6))
         S = -S_off
         S = S + jnp.einsum("jab,jk->jakb", Ustar,
                            jnp.eye(C))                    # add diag blocks
-        rhs = ea - (WV_m @ ebT.reshape(-1)).reshape(C, 6)
 
         # Fixed/invalid cameras: identity block, zero rhs.
         blk = free_f[:, None, None, None] * free_f[None, None, :, None]
@@ -331,8 +399,15 @@ def _lm_step_impl(state: LMState, cam: atan.Camera,
         delta_cam = delta_cam * free_f[:, None]
 
         # Back-substitute point updates (ref: src/Bundle.cc:461-483);
-        # one (C*6) @ (C*6, 3P) vec-mat in the shared flat W layout.
-        corr = (delta_cam.reshape(-1) @ W_m).reshape(3, P)
+        # one (C*6) @ (C*6, 3P) vec-mat in the shared flat W layout
+        # (lean: per-tile batched vec-mats, re-interleaved to (3, P)).
+        if nT > 1:
+            Wr = W2d.reshape(nT, C * 6, 3 * (P // nT))
+            corr_t = jnp.einsum("a,nab->nb", delta_cam.reshape(-1), Wr)
+            corr = jnp.moveaxis(
+                corr_t.reshape(nT, 3, P // nT), 0, 1).reshape(3, P)
+        else:
+            corr = (delta_cam.reshape(-1) @ W_m).reshape(3, P)
         rb = ebT - corr                                   # (3, P)
         delta_pt = jnp.stack(
             [Vi[a, 0] * rb[0] + Vi[a, 1] * rb[1] + Vi[a, 2] * rb[2]

@@ -1093,8 +1093,17 @@ class MapMaker:
         if not job["sharded"] and ba_use_single_step(c_cap, p_cap):
             # Large problem: the while_loop chunk's loop-carried state
             # spills (~10x/iter at the 500-KF north star) — dispatch ONE
-            # donated lm_step per poll instead (see BA_CHUNK_W_BYTES_LIMIT).
-            stepf = bundlelib._cached_lm_step_flags(self.ba_cfg, kind)
+            # lm_step per poll instead (see BA_CHUNK_W_BYTES_LIMIT), in
+            # the MEMORY-LEAN configuration: at this scale the dense
+            # step's ~5 GB peak working set costs seconds of
+            # shared-service overhead per call while device compute is
+            # ~0.4 s (round-5 trace); tiling drops the peak to ~2 GB
+            # (config.BundleConfig.soff_tiles; falls back to dense
+            # per-field unless the caps divide exactly).
+            import dataclasses
+            lean = dataclasses.replace(self.ba_cfg, soff_tiles=8,
+                                       u_chunks=8)
+            stepf = bundlelib._cached_lm_step_flags(lean, kind)
             state, flags = stepf(job["state"], self.cam)
         elif job["sharded"]:
             from ptam_cg_tpu.parallel import sharded_ba

@@ -214,6 +214,13 @@ def _sharded_step_body(state: LMState, cam: atan.Camera,
 
     # Per-shard accumulators; only the camera-sized U/ea (and the
     # error scalar) are completed over the mesh. V/eb/W stay local.
+    # The lean-memory tiling (cfg.soff_tiles/u_chunks, round 5) is a
+    # single-device big-problem mode — point-sharding already divides
+    # the per-device working set by the mesh size, so it is forced OFF
+    # here (the code below assumes the flat (18C, Pl) W layout).
+    import dataclasses
+    if cfg.soff_tiles or cfg.u_chunks:
+        cfg = dataclasses.replace(cfg, soff_tiles=0, u_chunks=0)
     (U, ea, V9, eb, W2d, err_local, new_bad,
      good) = bundlelib._accumulators(local, cam, sigma_sq, cfg,
                                      mest_kind)

@@ -201,3 +201,58 @@ def test_blown_solve_sets_failed_flag():
     prob = prob._replace(meas_sqrt_inv_noise=jnp.asarray(noise))
     state, n = bundle.compute(prob, cam)
     assert bool(state.failed)
+
+
+def test_lean_memory_step_matches_dense():
+    """The memory-lean LM step (soff_tiles/u_chunks, round 5 — the
+    MapMaker's big-tier product configuration, where the dense step's
+    ~5 GB peak working set costs seconds of shared-service overhead per
+    call) must produce the dense step's results: same accept/convergence
+    flags and matching poses/points to f32 reassociation tolerance."""
+    import dataclasses
+
+    prob, cam, _, _ = make_problem(seed=11, n_cams=4, n_pts=64,
+                                   noise_px=0.3, perturb_cams=0.02,
+                                   perturb_pts=0.02)
+    cfg = BundleConfig()
+    # n_pts=64 % 8 == 0 and cap_meas=512 % 8 == 0: both lean paths engage.
+    lean = dataclasses.replace(cfg, soff_tiles=8, u_chunks=8)
+    assert bundle.lean_tiles(lean, prob.pt_pos.shape[0]) == 8
+
+    sd = bundle.init_lm(prob, cfg)
+    sl = bundle.init_lm(prob, lean)
+    for _ in range(4):
+        sd = bundle.lm_step(sd, cam, cfg)
+        sl = bundle.lm_step(sl, cam, lean)
+    assert int(sd.iters) == int(sl.iters)
+    assert int(sd.accepted) == int(sl.accepted)
+    assert bool(sd.failed) == bool(sl.failed) is False
+    np.testing.assert_allclose(np.asarray(sl.problem.cam_t),
+                               np.asarray(sd.problem.cam_t),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sl.problem.cam_R),
+                               np.asarray(sd.problem.cam_R),
+                               rtol=0, atol=1e-4)
+    dp = np.abs(np.asarray(sl.problem.pt_pos)
+                - np.asarray(sd.problem.pt_pos))
+    assert np.percentile(dp, 99) < 1e-3, np.percentile(dp, 99)
+    np.testing.assert_array_equal(np.asarray(sl.problem.meas_bad),
+                                  np.asarray(sd.problem.meas_bad))
+
+
+def test_lean_memory_fallback_non_divisible():
+    """Non-divisible P/M fall back to the dense path BIT-exactly (the
+    guard in bundle.lean_tiles / _accumulators)."""
+    import dataclasses
+
+    prob, cam, _, _ = make_problem(seed=12, n_pts=63, cap_meas=509,
+                                   perturb_pts=0.01)
+    cfg = BundleConfig()
+    lean = dataclasses.replace(cfg, soff_tiles=8, u_chunks=8)
+    assert bundle.lean_tiles(lean, prob.pt_pos.shape[0]) == 1
+    sd = bundle.lm_step(bundle.init_lm(prob, cfg), cam, cfg)
+    sl = bundle.lm_step(bundle.init_lm(prob, lean), cam, lean)
+    np.testing.assert_array_equal(np.asarray(sd.problem.pt_pos),
+                                  np.asarray(sl.problem.pt_pos))
+    np.testing.assert_array_equal(np.asarray(sd.problem.cam_t),
+                                  np.asarray(sl.problem.cam_t))
