@@ -234,11 +234,27 @@ def run_engine_bench(use_async: bool = False, n_frames: int = 240,
     # Reversed-direction sequence: the camera retraces its path, so the
     # RT pass continues smoothly from the engine's current pose (a plain
     # restart would teleport the camera back and force a reloc).
+    # Keep-warm: at a 30 Hz tick the chip idles most of each period, and
+    # every RT pass this round hit multi-second service hangs that the
+    # (chip-saturating) max-rate window never sees — consistent with the
+    # shared service parking an idle reservation. One tiny dispatch per
+    # tick (~0.3 ms host, never read) holds the device active between
+    # frames; a dedicated edge deployment would be continuously busy
+    # anyway. --no-keepwarm measures the bare behavior.
+    import jax.numpy as jnp
+    keepwarm = "--no-keepwarm" not in sys.argv
+    warm_f = jax.jit(lambda a: a + 1.0)
+    warm_x = jnp.float32(0.0)
+    warm_f(warm_x).block_until_ready()
     rt_times = []
     rt_events = []
     next_tick = time.perf_counter()
     for i, frame in prefetched(seq_frames[::-1]):
         now = time.perf_counter()
+        while keepwarm and next_tick - now > 0.012:
+            warm_f(warm_x)
+            time.sleep(0.008)
+            now = time.perf_counter()
         if now < next_tick:
             time.sleep(next_tick - now)
         next_tick = max(next_tick + period, time.perf_counter())
@@ -250,6 +266,7 @@ def run_engine_bench(use_async: bool = False, n_frames: int = 240,
         rt_events.append((i, dt, info.added_kf, info.n_kfs, busy))
     rt = frame_stats(rt_times)
     rt.update(hitch_fields(rt_events))
+    rt["keepwarm"] = keepwarm
     rt["n_kfs"] = int(info.n_kfs)
     rt["worst_kf_adjacent_ms"] = round(max(
         (d for i, d, akf, k, b in rt_events if akf), default=0.0) * 1e3, 2)
