@@ -11,6 +11,7 @@ failure-queue refind -> bad-point GC -> keyframe integration.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import NamedTuple, Optional, Tuple
 
@@ -31,6 +32,8 @@ from ptam_cg_tpu.utils import se3 as se3lib
 from ptam_cg_tpu.utils.se3 import SE3
 
 Array = jax.Array
+
+_DBG = bool(os.environ.get("PTAM_DEBUG_TIMING"))
 
 MAX_SSD = 8 * 8 * 500.0
 
@@ -1190,11 +1193,29 @@ class MapMaker:
         conv, iters, failed, accepted = (
             int(x) for x in np.asarray(job["flags"]))
         n_new = iters - job.get("iters_before", 0)
-        if n_new > 0 and dt < 5.0 and not self.deterministic:
+        # Sanity floor (round 5): on the current axon backend
+        # ``is_ready()`` can report PENDING work as ready (hazard #5 in
+        # CLAUDE.md), which makes dispatch-to-poll wall time ~0 and
+        # would record an absurd per-step estimate. A real LM step is
+        # never < 0.2 ms at any product tier (measured floor 0.5 ms at
+        # the 5-KF tier); below that the measurement is the fake-ready
+        # artifact, the EMA is left untouched, and chunk sizing falls
+        # back to the ``ba_steps_per_pass`` cap — which the round-4
+        # phased scheduler already bounds per pass.
+        if (n_new > 0 and 0.2e-3 * n_new < dt < 5.0
+                and not self.deterministic):
             per_ms = dt / n_new * 1000.0
             self._ba_step_ms = (per_ms if self._ba_step_ms is None
                                 else 0.7 * self._ba_step_ms
                                 + 0.3 * per_ms)
+            if _DBG:
+                import sys
+                print(f"#dbg ba-chunk {n_new} iters {dt*1e3:.1f}ms "
+                      f"({per_ms:.1f}ms/step, ema "
+                      f"{self._ba_step_ms:.1f}, budget "
+                      f"{self.cfg.ba_latency_budget_ms}ms -> next "
+                      f"chunk {self._chunk_steps()} steps)",
+                      file=sys.stderr)
         job["iters_done"] = iters
         if failed:
             # Cholesky/NaN blow-up: ditch the map
