@@ -276,3 +276,28 @@ def test_validate_config_rejects_oversized_ranges():
         tracker.validate_config(TrackerConfig(coarse_range=40.0))
     with pytest.raises(ValueError):
         tracker.validate_config(TrackerConfig(fine_range_no_coarse=20.0))
+
+
+def test_track_view_matches_full_map_state(setup):
+    """TrackView (the slim 14-leaf jit-boundary stand-in for MapState,
+    round 5) must produce BIT-identical tracking results — it is the
+    same device buffers under a smaller pytree."""
+    seq, cam, m, _ = setup
+    frame2 = keyframe.build_frame(seq.frame(2), candidate_min_score=100.0)
+    pose = seq.pose(2)
+    mv = tracker.make_track_view(m)
+
+    res_full = tracker.track_map(m, frame2, pose, cam, SIZE,
+                                 jax.random.PRNGKey(1), jnp.float32(0.0),
+                                 jnp.asarray(False))
+    res_view = tracker.track_map(mv, frame2, pose, cam, SIZE,
+                                 jax.random.PRNGKey(1), jnp.float32(0.0),
+                                 jnp.asarray(False))
+    np.testing.assert_array_equal(np.asarray(res_full.pose.R),
+                                  np.asarray(res_view.pose.R))
+    np.testing.assert_array_equal(np.asarray(res_full.pose.t),
+                                  np.asarray(res_view.pose.t))
+    np.testing.assert_array_equal(np.asarray(res_full.meas_valid),
+                                  np.asarray(res_view.meas_valid))
+    np.testing.assert_array_equal(np.asarray(res_full.meas_pos),
+                                  np.asarray(res_view.meas_pos))
