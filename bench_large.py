@@ -123,36 +123,54 @@ def main():
     mm.drain_all()
     mm.map = eng.map
 
-    # Timed windows end with a real HOST READ and subtract the read RTT
-    # (block_until_ready can return before execution completes on this
-    # backend — bench_common.sync_read, round-5 finding).
+    # Timed windows end with a real HOST READ, subtract the read RTT,
+    # and CHAIN each call on the previous call's output — round-5
+    # backend hazards: block_until_ready doesn't fence, and
+    # identical-args calls can be served without re-execution
+    # (bench_common.sync_read; CLAUDE.md hazards 1-2).
     from bench_common import read_rtt_s, sync_read
     rtt = read_rtt_s()
 
-    def timeit(fn, n=10):
-        sync_read(fn())                        # warm (already compiled)
+    def timeit(step, init, n=10):
+        x = step(init)                         # warm (already compiled)
+        sync_read(x[0].point_pos[0] if hasattr(x[0], "point_pos")
+                  else x[0])
         t = time.perf_counter()
-        out = None
         for _ in range(n):
-            out = fn()
-        sync_read(out)
+            x = step(x)
+        sync_read(x[0].point_pos[0] if hasattr(x[0], "point_pos")
+                  else x[0])
         return (time.perf_counter() - t - rtt) / n * 1000
 
     K = mm.map.kf_valid.shape[0]
     mask2d = jnp.ones_like(mm.failure_mask)
     t_refind = timeit(
-        lambda: mm._jit_refind_all(mm.map, mask2d)[0].point_pos[0])
+        lambda x: mm._jit_refind_all(x[0], mask2d), (mm.map,))
     # The PRODUCT refind dispatch is a 16-slot span (one per scheduler
     # pass); its latency is the per-pass bound that matters.
     t_span = timeit(
-        lambda: mm._jit_refind_span(mm.map, mask2d,
-                                    mm._span_ks[0])[0].point_pos[0])
+        lambda x: mm._jit_refind_span(x[0], mask2d, mm._span_ks[0]),
+        (mm.map,))
 
     caps = mm._ba_caps()
+
+    # Chain extract on its own output: a tiny jitted feedback makes the
+    # next call's map depend on the previous problem (eager ops would
+    # cost ~2-3 ms each on this backend).
+    feed = jax.jit(lambda pp, q: pp + 0.0 * q[0, 0])
+
+    def ex_chain(x):
+        m_, prob = x
+        m_ = m_._replace(point_pos=feed(m_.point_pos, prob.pt_pos))
+        prob2 = mm._jit_extract(m_, m_.kf_valid,
+                                jnp.zeros(K, bool) | m_.kf_fixed,
+                                m_.point_valid, *caps)[0]
+        return m_, prob2
+
     ex = lambda: mm._jit_extract(mm.map, mm.map.kf_valid,
                                  jnp.zeros(K, bool) | mm.map.kf_fixed,
                                  mm.map.point_valid, *caps)
-    t_extract = timeit(lambda: ex()[0].pt_pos[0])
+    t_extract = timeit(ex_chain, (mm.map, ex()[0]))
 
     # Global BA to convergence (fresh jitted chunks, already compiled).
     from ptam_cg_tpu.models import bundle as bundlelib
@@ -165,8 +183,13 @@ def main():
     st0, f0 = chunkf(st0, mm.cam, jnp.int32(mm.cfg.ba_steps_per_pass))
     sync_read(f0)
     t = time.perf_counter()
-    st1, f1 = chunkf(bundlelib.init_lm(prob, mm.ba_cfg), mm.cam,
-                     jnp.int32(mm.cfg.ba_steps_per_pass))
+    # Perturbed lam: the timed call must not be value-identical to the
+    # warm call (round-5 hazard #2 — identical-args calls can be served
+    # without re-execution).
+    st1, f1 = chunkf(
+        bundlelib.init_lm(prob, mm.ba_cfg)._replace(
+            lam=jnp.float32(1.0001e-4)),
+        mm.cam, jnp.int32(mm.cfg.ba_steps_per_pass))
     chunk_iters = int(np.asarray(f1)[1])      # real host read
     t_chunk = (time.perf_counter() - t - rtt) * 1000
 

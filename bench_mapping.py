@@ -130,10 +130,18 @@ def main():
                                     meas_level, meas_valid, meas_valid,
                                     dm, ds, npm)
 
-    # Warmup / compile. Timed windows end with a real HOST READ and
-    # subtract the read RTT: block_until_ready can return before
-    # execution completes on this backend (bench_common.sync_read).
+    # Warmup / compile. Timed windows end with a real HOST READ,
+    # subtract the read RTT, and CHAIN each call on the previous output
+    # (round-5 backend hazards: block_until_ready doesn't fence;
+    # identical-args calls can be served without re-execution — see
+    # bench_common.sync_read and CLAUDE.md).
     from bench_common import read_rtt_s, sync_read
+
+    # Chain by feeding the integrated map's state back in via a tiny
+    # jitted feedback (the integrate itself must keep inserting into a
+    # map with a free slot, so the INPUT map stays `m` shifted by a
+    # zero-valued dependency on the previous output).
+    feed = jax.jit(lambda pp, q: pp + 0.0 * q[0, 0])
 
     out_m, new_mask, slot_n = integrate(m)
     sync_read(slot_n)
@@ -141,7 +149,8 @@ def main():
     t0 = time.perf_counter()
     iters = 20
     for _ in range(iters):
-        out_m, new_mask, slot_n = integrate(m)
+        m_in = m._replace(point_pos=feed(m.point_pos, out_m.point_pos))
+        out_m, new_mask, slot_n = integrate(m_in)
     sync_read(slot_n)
     integrate_ms = (time.perf_counter() - t0 - rtt) / iters * 1000
 
@@ -150,7 +159,7 @@ def main():
     sync_read(nf)
     t0 = time.perf_counter()
     for _ in range(iters):
-        m2, nf = maker._jit_refind_all(out_m, mask2d)
+        m2, nf = maker._jit_refind_all(m2, mask2d)
     sync_read(nf)
     refind_ms = (time.perf_counter() - t0 - rtt) / iters * 1000
 
