@@ -144,21 +144,33 @@ def main():
 
     K = mm.map.kf_valid.shape[0]
     mask2d = jnp.ones_like(mm.failure_mask)
-    t_refind = timeit(
-        lambda x: mm._jit_refind_all(x[0], mask2d), (mm.map,))
+    # Refind re-runs on the SAME base map each iteration (chaining its
+    # output map would turn later passes into never-retry no-ops); the
+    # jitted feedback injects a zero dependency on the previous output
+    # so every iteration provably executes (hazard #2).
+    feed = jax.jit(lambda pp, q: pp + 0.0 * q[0, 0])
+    base = mm.map
+
+    def refind_step(x):
+        m_in = base._replace(point_pos=feed(base.point_pos,
+                                            x[0].point_pos))
+        return mm._jit_refind_all(m_in, mask2d)
+
+    t_refind = timeit(refind_step, (base,))
     # The PRODUCT refind dispatch is a 16-slot span (one per scheduler
     # pass); its latency is the per-pass bound that matters.
-    t_span = timeit(
-        lambda x: mm._jit_refind_span(x[0], mask2d, mm._span_ks[0]),
-        (mm.map,))
+
+    def span_step(x):
+        m_in = base._replace(point_pos=feed(base.point_pos,
+                                            x[0].point_pos))
+        return mm._jit_refind_span(m_in, mask2d, mm._span_ks[0])
+
+    t_span = timeit(span_step, (base,))
 
     caps = mm._ba_caps()
 
-    # Chain extract on its own output: a tiny jitted feedback makes the
-    # next call's map depend on the previous problem (eager ops would
-    # cost ~2-3 ms each on this backend).
-    feed = jax.jit(lambda pp, q: pp + 0.0 * q[0, 0])
-
+    # Chain extract on its own output: the shared jitted feedback makes
+    # the next call's map depend on the previous problem.
     def ex_chain(x):
         m_, prob = x
         m_ = m_._replace(point_pos=feed(m_.point_pos, prob.pt_pos))

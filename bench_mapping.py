@@ -154,12 +154,18 @@ def main():
     sync_read(slot_n)
     integrate_ms = (time.perf_counter() - t0 - rtt) / iters * 1000
 
+    # Refind must re-run on the SAME map each iteration (chaining the
+    # output map turns later passes into never-retry no-ops): the
+    # feedback re-injects a zero dependency on the previous output into
+    # an otherwise identical input.
     mask2d = jnp.broadcast_to(new_mask, (K, P))
     m2, nf = maker._jit_refind_all(out_m, mask2d)
     sync_read(nf)
     t0 = time.perf_counter()
     for _ in range(iters):
-        m2, nf = maker._jit_refind_all(m2, mask2d)
+        m_in = out_m._replace(point_pos=feed(out_m.point_pos,
+                                             m2.point_pos))
+        m2, nf = maker._jit_refind_all(m_in, mask2d)
     sync_read(nf)
     refind_ms = (time.perf_counter() - t0 - rtt) / iters * 1000
 
