@@ -560,7 +560,13 @@ class SLAMEngine:
                 # poll on a PENDING array is a remote round trip here).
                 old = self._inflight.popleft()
                 self._inflight.clear()
-                old.block_until_ready()
+                # Real host READ, not block_until_ready: on the current
+                # backend block/is_ready can report pending work done
+                # (CLAUDE.md hazards #1/#5), which would leave the
+                # backlog unbounded and the next forced decision read
+                # paying it all. The info vector is 5 ints — the read
+                # IS the designed once-per-drain bounded wait.
+                np.asarray(old)
                 # Having just paid a blocking wait, land the pending
                 # decision at the next frame too (its info is mostly
                 # executed by now) — max-rate feeds then make decisions
